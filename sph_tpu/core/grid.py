@@ -1,0 +1,73 @@
+"""On-device uniform hash grid.
+
+Replaces the reference's five-stage, host-synchronizing grid build
+(``hashParticles`` -> host qsort -> ``sortPostPass`` -> per-cell binary-search
+``indexx`` -> host backward-scan fixup; `/root/reference/src/
+owOpenCLSolver.cpp:229-319`, `src/sphFluid.cl:346-466`) with two fused
+device ops: one ``argsort`` on full-precision cell ids and one vectorized
+``searchsorted`` producing CSR offsets directly — no sentinel holes, so the
+host fixup pass has no equivalent. The reference's 16-bit cell-id truncation
+(`sphFluid.cl:377`) is deliberately not reproduced: it aliases distinct cells
+for z > ~200 sim units; we keep exact ids.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimParams
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Grid:
+    """CSR cell->particle map in original-index space."""
+
+    cell_coords: jax.Array  # [N,3] i32 per-particle cell coordinates
+    order: jax.Array        # [N]   i32 particle ids sorted by linear cell id
+    cell_start: jax.Array   # [n_cells+1] i32 offsets into ``order``
+
+
+def cell_coords_of(pos: jax.Array, params: SimParams) -> jax.Array:
+    """Integer cell coordinates, clipped into the grid.
+
+    Matches ``cellFactors`` (`sphFluid.cl:187-201`): plain truncation of
+    pos * (1 / (2h)); positions are box-clamped by the integrator so the clip
+    is a no-op in normal operation.
+    """
+    dims = jnp.asarray(params.grid_dims, dtype=jnp.int32)
+    box_min = jnp.asarray(params.box_min, dtype=pos.dtype)
+    inv = jnp.float32(1.0 / params.cell_size)
+    c = ((pos - box_min) * inv).astype(jnp.int32)
+    return jnp.clip(c, 0, dims - 1)
+
+
+def linear_cell_id(coords: jax.Array, params: SimParams) -> jax.Array:
+    """x-major linearization, same layout as ``cellId`` (sphFluid.cl:332-342)."""
+    nx, ny, _ = params.grid_dims
+    return coords[..., 0] + nx * (coords[..., 1] + ny * coords[..., 2])
+
+
+def build_grid(pos: jax.Array, params: SimParams) -> Grid:
+    coords = cell_coords_of(pos, params)
+    cell_ids = linear_cell_id(coords, params)
+    order = jnp.argsort(cell_ids, stable=True).astype(jnp.int32)
+    sorted_ids = cell_ids[order]
+    cell_start = jnp.searchsorted(
+        sorted_ids,
+        jnp.arange(params.n_cells + 1, dtype=sorted_ids.dtype),
+        side="left",
+    ).astype(jnp.int32)
+    return Grid(cell_coords=coords, order=order, cell_start=cell_start)
+
+
+def cell_occupancy_overflow(grid: Grid, params: SimParams) -> jax.Array:
+    """Total particles beyond ``cell_capacity`` in their cell (diagnostic).
+
+    The reference silently truncates neighbor candidates at 32
+    (`sphFluid.cl:169`); we surface capacity overflow instead of hiding it.
+    """
+    counts = grid.cell_start[1:] - grid.cell_start[:-1]
+    return jnp.sum(jnp.maximum(counts - params.cell_capacity, 0))

@@ -1,0 +1,138 @@
+"""The single fused simulation step.
+
+The reference's ``simulationStep`` issues ~20 kernel launches with a
+``queue.finish()`` after each, two device->host->device structural round
+trips (sort, index fixup), a per-step position readback, and a per-step
+embedded-Python call (`/root/reference/src/owPhysicsFluidSimulator.cpp:
+79-149`, `src/owOpenCLSolver.cpp:224-226`). Here the whole step — grid build,
+neighbor search, PCISPH, elastic/muscle forces, integration, membranes, and
+the muscle signal — is **one jit-compiled pure function**; XLA fuses and
+schedules it with zero host synchronization, and ``multi_step`` scans it so
+whole trajectories run device-side.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimParams
+from ..models import muscle
+from .elastic import add_elastic_forces
+from .grid import build_grid
+from .membranes import membrane_position_correction
+from .neighbors import find_neighbors
+from .pcisph import (
+    compute_density,
+    compute_external_forces,
+    integrate,
+    pcisph_pressure_loop,
+)
+from .state import FluidState, Membranes, Springs
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneLayout:
+    """Static layout facts about a scene (hashable; jit-static).
+
+    Particle classes are stored contiguously — the generator emits
+    elastic/liquid/boundary, the file loader boundary/elastic/liquid — so
+    class-restricted kernels (membranes) become static slices instead of
+    full-length masked passes.
+    """
+
+    n_particles: int
+    liquid_range: tuple[int, int] = (0, 0)
+    elastic_range: tuple[int, int] = (0, 0)
+    boundary_range: tuple[int, int] = (0, 0)
+    muscle_model: bool = False  # drive activations from the wave model
+
+    @property
+    def n_liquid(self) -> int:
+        return self.liquid_range[1] - self.liquid_range[0]
+
+    @property
+    def n_elastic(self) -> int:
+        return self.elastic_range[1] - self.elastic_range[0]
+
+    @property
+    def n_boundary(self) -> int:
+        return self.boundary_range[1] - self.boundary_range[0]
+
+
+@partial(jax.jit, static_argnames=("params", "layout"))
+def simulation_step(
+    state: FluidState,
+    springs: Springs,
+    membranes: Membranes,
+    params: SimParams,
+    layout: SceneLayout,
+) -> FluidState:
+    """Advance the simulation by one PCISPH step.
+
+    Same stage order as `owPhysicsFluidSimulator.cpp:79-149`.
+    """
+    pos, vel = state.pos, state.vel
+    ptype, normal = state.ptype, state.normal
+
+    # -- neighbor phase --
+    grid = build_grid(pos, params)
+    nbrs = find_neighbors(pos, grid, params)
+
+    # -- forces at time t --
+    rho = compute_density(nbrs, params)
+    a_ext = compute_external_forces(
+        pos, vel, rho, ptype, normal, nbrs, params
+    )
+    a_ext = add_elastic_forces(
+        a_ext, pos, springs, state.muscle_activation, params
+    )
+
+    # -- PCISPH prediction-correction --
+    res = pcisph_pressure_loop(pos, vel, ptype, nbrs, params)
+
+    # -- integrate + membrane interaction --
+    pos1, vel1 = integrate(
+        pos, vel, ptype, normal, a_ext, res.a_p, nbrs, params
+    )
+    pos2 = membrane_position_correction(
+        pos1, ptype, nbrs, membranes, params, layout.liquid_range
+    )
+
+    # -- muscle signal for the next step --
+    if layout.muscle_model:
+        activation = muscle.next_activation(state.step)
+    else:
+        activation = state.muscle_activation
+
+    return FluidState(
+        pos=pos2,
+        vel=vel1,
+        ptype=ptype,
+        normal=normal,
+        muscle_activation=activation,
+        step=state.step + 1,
+    )
+
+
+@partial(jax.jit, static_argnames=("params", "layout", "n_steps"))
+def multi_step(
+    state: FluidState,
+    springs: Springs,
+    membranes: Membranes,
+    params: SimParams,
+    layout: SceneLayout,
+    n_steps: int,
+) -> FluidState:
+    """Run ``n_steps`` steps fully on device (lax.scan; no host round trips)."""
+
+    def body(s, _):
+        return (
+            simulation_step(s, springs, membranes, params, layout),
+            None,
+        )
+
+    out, _ = jax.lax.scan(body, state, None, length=n_steps)
+    return out
