@@ -14,37 +14,33 @@ dependent ``offset`` argument (`owOpenCLSolver.cpp:435`) does not exist.
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
 import jax
+import jax.numpy as jnp
 
 from ..config import SimParams
+from ..ops.vec3 import V3
 from .state import Springs
 
 
-def add_elastic_forces(
-    a_ext: jax.Array,
-    pos: jax.Array,
+def elastic_accel(
+    pos: V3,
     springs: Springs,
     activation: jax.Array,
     params: SimParams,
-) -> jax.Array:
-    """Scatter-add spring + muscle accelerations into ``a_ext``.
+) -> V3:
+    """Spring + muscle acceleration per spring row (V3 of [Ne]).
 
-    Shapes: pos [N,3] sim units; activation [MUSCLE_COUNT]; returns [N,3].
+    Shapes: pos of [N]; activation [MUSCLE_COUNT].
     """
-    if springs.n_elastic == 0:
-        return a_ext
-
     i = springs.row_ids                       # [Ne]
     valid = springs.idx >= 0                  # [Ne,32]
     j = jnp.maximum(springs.idx, 0)
 
     scale = jnp.float32(params.simulation_scale)
-    d = (pos[i][:, None, :] - pos[j]) * scale  # [Ne,32,3] meters
-    r = jnp.sqrt(jnp.sum(d * d, axis=-1))      # [Ne,32]
+    d = (pos.take(i).expand(1) - pos.take(j)) * scale  # V3 of [Ne,32], meters
+    r = d.norm()
     ok = valid & (r != 0.0)
-    r_safe = jnp.maximum(r, 1e-30)
-    r_hat = d / r_safe[..., None]
+    inv_r = 1.0 / jnp.maximum(r, 1e-30)
 
     stretch = r - springs.rest
     coef = jnp.where(ok, -stretch * jnp.float32(params.k_spring), 0.0)
@@ -56,5 +52,23 @@ def add_elastic_forces(
         m_on, -act * jnp.float32(params.muscle_force), 0.0
     )
 
-    a = jnp.sum(coef[..., None] * r_hat, axis=1)  # [Ne,3]
-    return a_ext.at[i].add(a)
+    return (d * (coef * inv_r)).sum(axis=1)
+
+
+def add_elastic_forces(
+    a_ext: V3,
+    pos: V3,
+    springs: Springs,
+    activation: jax.Array,
+    params: SimParams,
+) -> V3:
+    """Scatter-add spring + muscle accelerations into ``a_ext``."""
+    if springs.n_elastic == 0:
+        return a_ext
+    a = elastic_accel(pos, springs, activation, params)
+    i = springs.row_ids
+    return V3(
+        a_ext.x.at[i].add(a.x),
+        a_ext.y.at[i].add(a.y),
+        a_ext.z.at[i].add(a.z),
+    )

@@ -9,6 +9,9 @@ device ops: one ``argsort`` on full-precision cell ids and one vectorized
 host fixup pass has no equivalent. The reference's 16-bit cell-id truncation
 (`sphFluid.cl:377`) is deliberately not reproduced: it aliases distinct cells
 for z > ~200 sim units; we keep exact ids.
+
+Cell coordinates are stored as three 1-D arrays (see ops/vec3.py for why
+``[N, 3]`` layouts are avoided on TPU).
 """
 from __future__ import annotations
 
@@ -18,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SimParams
+from ..ops.vec3 import V3
 
 
 @jax.tree_util.register_dataclass
@@ -25,34 +29,46 @@ from ..config import SimParams
 class Grid:
     """CSR cell->particle map in original-index space."""
 
-    cell_coords: jax.Array  # [N,3] i32 per-particle cell coordinates
-    order: jax.Array        # [N]   i32 particle ids sorted by linear cell id
-    cell_start: jax.Array   # [n_cells+1] i32 offsets into ``order``
+    ccx: jax.Array        # [N] i32 cell x-coordinate per particle
+    ccy: jax.Array        # [N] i32
+    ccz: jax.Array        # [N] i32
+    order: jax.Array      # [N] i32 particle ids sorted by linear cell id
+    cell_start: jax.Array  # [n_cells+1] i32 offsets into ``order``
+
+    @property
+    def coords(self) -> V3:
+        return V3(self.ccx, self.ccy, self.ccz)
 
 
-def cell_coords_of(pos: jax.Array, params: SimParams) -> jax.Array:
+def cell_coords_of(pos: V3, params: SimParams) -> V3:
     """Integer cell coordinates, clipped into the grid.
 
     Matches ``cellFactors`` (`sphFluid.cl:187-201`): plain truncation of
     pos * (1 / (2h)); positions are box-clamped by the integrator so the clip
     is a no-op in normal operation.
     """
-    dims = jnp.asarray(params.grid_dims, dtype=jnp.int32)
-    box_min = jnp.asarray(params.box_min, dtype=pos.dtype)
+    nx, ny, nz = params.grid_dims
     inv = jnp.float32(1.0 / params.cell_size)
-    c = ((pos - box_min) * inv).astype(jnp.int32)
-    return jnp.clip(c, 0, dims - 1)
+    bx, by, bz = params.box_min
+    cx = ((pos.x - jnp.float32(bx)) * inv).astype(jnp.int32)
+    cy = ((pos.y - jnp.float32(by)) * inv).astype(jnp.int32)
+    cz = ((pos.z - jnp.float32(bz)) * inv).astype(jnp.int32)
+    return V3(
+        jnp.clip(cx, 0, nx - 1),
+        jnp.clip(cy, 0, ny - 1),
+        jnp.clip(cz, 0, nz - 1),
+    )
 
 
-def linear_cell_id(coords: jax.Array, params: SimParams) -> jax.Array:
+def linear_cell_id(c: V3, params: SimParams) -> jax.Array:
     """x-major linearization, same layout as ``cellId`` (sphFluid.cl:332-342)."""
     nx, ny, _ = params.grid_dims
-    return coords[..., 0] + nx * (coords[..., 1] + ny * coords[..., 2])
+    return c.x + nx * (c.y + ny * c.z)
 
 
-def build_grid(pos: jax.Array, params: SimParams) -> Grid:
-    coords = cell_coords_of(pos, params)
-    cell_ids = linear_cell_id(coords, params)
+def build_grid(pos: V3, params: SimParams) -> Grid:
+    c = cell_coords_of(pos, params)
+    cell_ids = linear_cell_id(c, params)
     order = jnp.argsort(cell_ids, stable=True).astype(jnp.int32)
     sorted_ids = cell_ids[order]
     cell_start = jnp.searchsorted(
@@ -60,7 +76,7 @@ def build_grid(pos: jax.Array, params: SimParams) -> Grid:
         jnp.arange(params.n_cells + 1, dtype=sorted_ids.dtype),
         side="left",
     ).astype(jnp.int32)
-    return Grid(cell_coords=coords, order=order, cell_start=cell_start)
+    return Grid(ccx=c.x, ccy=c.y, ccz=c.z, order=order, cell_start=cell_start)
 
 
 def cell_occupancy_overflow(grid: Grid, params: SimParams) -> jax.Array:

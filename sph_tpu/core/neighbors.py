@@ -11,6 +11,9 @@ approximation, same fixed [N, 32] output shape, one pass.
 Output convention mirrors the padded ``neighborMap`` (`sphFluid.cl:64-92`):
 -1 ids for empty slots; distances are stored nondimensionally as
 ``q = r / h`` (identically ``r_scaled / h_scaled``).
+
+All vector math is component-split (see ops/vec3.py): candidate distance
+intermediates are ``[N, 8*K]`` scalar planes, never ``[N, 8*K, 3]``.
 """
 from __future__ import annotations
 
@@ -20,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SimParams
-from .grid import Grid, linear_cell_id
+from ..ops.vec3 import V3
+from .grid import Grid
 
 # The 8 searched cells: own cell + 7 toward the nearest cell corner
 # (sphFluid.cl:266-308). Each entry selects which axes apply the +-1 delta.
@@ -37,42 +41,59 @@ class NeighborList(NamedTuple):
 
 
 def find_neighbors(
-    pos: jax.Array, grid: Grid, params: SimParams
+    pos: V3, grid: Grid, params: SimParams
 ) -> NeighborList:
-    n = pos.shape[0]
+    n = pos.x.shape[0]
     k_cap = params.cell_capacity
     m = params.max_neighbors
-    dims = jnp.asarray(params.grid_dims, dtype=jnp.int32)
-    box_min = jnp.asarray(params.box_min, dtype=pos.dtype)
+    nx, ny, nz = params.grid_dims
+    dims = (nx, ny, nz)
+    bx, by, bz = params.box_min
+    cell = jnp.float32(params.cell_size)
+    h = jnp.float32(params.h)
 
     # Direction of the nearest cell corner per axis: the interaction radius h
     # is half the cell edge, so candidates fit in own cell + that corner block
     # (lo test at sphFluid.cl:266-271).
-    frac = (pos - box_min) - grid.cell_coords.astype(pos.dtype) * jnp.float32(
-        params.cell_size
-    )
-    delta = jnp.where(frac < jnp.float32(params.h), -1, 1).astype(jnp.int32)
+    def corner_delta(p, b, cc):
+        frac = (p - jnp.float32(b)) - cc.astype(p.dtype) * cell
+        return jnp.where(frac < h, -1, 1).astype(jnp.int32)
 
+    dx = corner_delta(pos.x, bx, grid.ccx)
+    dy = corner_delta(pos.y, by, grid.ccy)
+    dz = corner_delta(pos.z, bz, grid.ccz)
+
+    slots = jnp.arange(k_cap, dtype=jnp.int32)[None, :]
     cand_chunks = []
-    for combo in _CORNER_COMBOS:
-        off = delta * jnp.asarray(combo, dtype=jnp.int32)
-        cc = grid.cell_coords + off
-        in_range = jnp.all((cc >= 0) & (cc < dims), axis=-1)  # [N]
-        cc_safe = jnp.clip(cc, 0, dims - 1)
-        lin = linear_cell_id(cc_safe, params)
+    for mx, my, mz in _CORNER_COMBOS:
+        cx = grid.ccx + (dx * mx if mx else 0)
+        cy = grid.ccy + (dy * my if my else 0)
+        cz = grid.ccz + (dz * mz if mz else 0)
+        in_range = (
+            (cx >= 0) & (cx < dims[0])
+            & (cy >= 0) & (cy < dims[1])
+            & (cz >= 0) & (cz < dims[2])
+        )
+        lin = (
+            jnp.clip(cx, 0, dims[0] - 1)
+            + dims[0] * (jnp.clip(cy, 0, dims[1] - 1)
+                         + dims[1] * jnp.clip(cz, 0, dims[2] - 1))
+        )
         start = grid.cell_start[lin]
-        count = grid.cell_start[lin + 1] - start
-        count = jnp.minimum(count, k_cap)
-        slots = jnp.arange(k_cap, dtype=jnp.int32)[None, :]
+        count = jnp.minimum(grid.cell_start[lin + 1] - start, k_cap)
         slot_ok = (slots < count[:, None]) & in_range[:, None]
         gather_at = jnp.minimum(start[:, None] + slots, n - 1)
         cand = grid.order[gather_at]
         cand_chunks.append(jnp.where(slot_ok, cand, -1))
 
-    cand = jnp.concatenate(cand_chunks, axis=1)  # [N, 8*k_cap]
+    cand = jnp.concatenate(cand_chunks, axis=1)  # [N, 8*k_cap] i32
+    safe = jnp.maximum(cand, 0)
 
-    diff = pos[:, None, :] - pos[jnp.maximum(cand, 0)]
-    d2 = jnp.sum(diff * diff, axis=-1)
+    # componentwise distance planes — no [N, 8K, 3] intermediate
+    d2 = (pos.x[:, None] - pos.x[safe]) ** 2
+    d2 = d2 + (pos.y[:, None] - pos.y[safe]) ** 2
+    d2 = d2 + (pos.z[:, None] - pos.z[safe]) ** 2
+
     h2 = jnp.float32(params.h * params.h)
     me = jnp.arange(n, dtype=jnp.int32)[:, None]
     ok = (cand >= 0) & (cand != me) & (d2 <= h2)
@@ -92,14 +113,9 @@ def find_neighbors(
     return NeighborList(idx=nbr_idx, q=q, valid=found)
 
 
-def neighbor_overflow(
-    pos: jax.Array, nbrs: NeighborList, params: SimParams
-) -> jax.Array:
-    """Count of particles whose within-h candidate set exceeded 32 slots.
+def neighbor_overflow(nbrs: NeighborList) -> jax.Array:
+    """Count of particles with all 32 slots filled (possible truncation).
 
     The reference truncates silently (`sphFluid.cl:169`); we expose it.
-    A full recount would need the candidate set again, so this cheap proxy
-    flags particles whose 32nd neighbor sits at q == ~1 with all slots full.
     """
-    full = jnp.all(nbrs.valid, axis=1)
-    return jnp.sum(full.astype(jnp.int32))
+    return jnp.sum(jnp.all(nbrs.valid, axis=1).astype(jnp.int32))

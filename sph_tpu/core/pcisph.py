@@ -2,7 +2,8 @@
 loop, boundary handling, and integration.
 
 Physics is the reference's, re-factored for f32 TPUs (see
-:mod:`sph_tpu.config` for the nondimensionalization). Per-kernel citations:
+:mod:`sph_tpu.config` for the nondimensionalization and :mod:`sph_tpu.ops.
+vec3` for the component-split layout). Per-kernel citations:
 
 * density           — `/root/reference/src/sphFluid.cl:472-518`
 * ext forces        — `sphFluid.cl:589-708` (viscosity, gravity, surf. tension)
@@ -35,18 +36,8 @@ import jax.numpy as jnp
 from ..config import SimParams
 from ..constants import BOUNDARY_PARTICLE
 from ..ops.smoothing import poly6_term, spiky_term, visc_term
+from ..ops.vec3 import V3, masked
 from .neighbors import NeighborList
-
-
-class _Gathered(NamedTuple):
-    j: jax.Array        # [N,32] safe (clamped) neighbor ids
-    mask: jax.Array     # [N,32] valid slots
-    mask_h: jax.Array   # [N,32] valid and strictly inside radius (q < 1)
-
-
-def _gather_ids(nbrs: NeighborList) -> _Gathered:
-    j = jnp.maximum(nbrs.idx, 0)
-    return _Gathered(j=j, mask=nbrs.valid, mask_h=nbrs.valid & (nbrs.q < 1.0))
 
 
 def compute_density(nbrs: NeighborList, params: SimParams) -> jax.Array:
@@ -63,61 +54,60 @@ def compute_density(nbrs: NeighborList, params: SimParams) -> jax.Array:
 
 
 def compute_external_forces(
-    pos: jax.Array,
-    vel: jax.Array,
+    pos: V3,
+    vel: V3,
     rho: jax.Array,
     ptype: jax.Array,
-    normal: jax.Array,
+    normal: V3,
     nbrs: NeighborList,
     params: SimParams,
-) -> jax.Array:
-    """Viscosity + gravity + surface tension -> a_ext [N,3].
+) -> V3:
+    """Viscosity + gravity + surface tension -> a_ext (V3 of [N]).
 
     Boundary particles get zero (they never move, sphFluid.cl:616-622).
     """
-    g = _gather_ids(nbrs)
-    m = g.mask_h[..., None].astype(pos.dtype)
+    j = jnp.maximum(nbrs.idx, 0)
+    mask = nbrs.valid & (nbrs.q < 1.0)
 
     # Boundary particles' "velocity" is their wall normal (see module doc).
-    is_b_j = (ptype[g.j] == BOUNDARY_PARTICLE)[..., None]
-    vel_j = jnp.where(is_b_j, normal[g.j], vel[g.j])
+    is_b_j = ptype[j] == BOUNDARY_PARTICLE
+    vel_j = normal.take(j).where(is_b_j, vel.take(j))
 
-    inv_rho_j = 1.0 / rho[g.j]
-    visc = jnp.sum(
-        (vel_j - vel[:, None, :])
-        * (visc_term(nbrs.q) * inv_rho_j)[..., None]
-        * m,
-        axis=1,
-    )
-    a_visc = jnp.float32(params.c_visc) * visc / rho[:, None]
+    w_v = jnp.where(mask, visc_term(nbrs.q) / rho[j], 0.0)
+    visc = ((vel_j - vel.expand(1)) * w_v).sum(axis=1)
+    a = visc * (jnp.float32(params.c_visc) / rho)
 
-    st = jnp.sum((pos[:, None, :] - pos[g.j]) * m, axis=1)
-    a_st = jnp.float32(params.c_surf) * st
+    st = masked(mask, pos.expand(1) - pos.take(j)).sum(axis=1)
+    a = a + st * jnp.float32(params.c_surf)
 
-    grav = jnp.asarray(params.gravity, dtype=pos.dtype)
-    a = a_visc + a_st + grav
-    is_b = (ptype == BOUNDARY_PARTICLE)[:, None]
-    return jnp.where(is_b, 0.0, a)
+    gx, gy, gz = params.gravity
+    a = V3(a.x + jnp.float32(gx), a.y + jnp.float32(gy),
+           a.z + jnp.float32(gz))
+
+    not_b = ptype != BOUNDARY_PARTICLE
+    return masked(not_b, a)
 
 
 class PcisphResult(NamedTuple):
     pressure: jax.Array  # [N]
-    a_p: jax.Array       # [N,3] pressure-force acceleration
+    a_p: V3              # pressure-force acceleration, V3 of [N]
 
 
 def pcisph_pressure_loop(
-    pos: jax.Array,
-    vel: jax.Array,
+    pos: V3,
+    vel: V3,
     ptype: jax.Array,
     nbrs: NeighborList,
     params: SimParams,
 ) -> PcisphResult:
     """The fixed-3-iteration prediction-correction loop
     (`owPhysicsFluidSimulator.cpp:99-106`), fully on device via fori_loop."""
-    n = pos.shape[0]
-    g = _gather_ids(nbrs)
+    n = pos.x.shape[0]
+    j = jnp.maximum(nbrs.idx, 0)
+    mask = nbrs.valid
+    mask_h = mask & (nbrs.q < 1.0)
     is_b = ptype == BOUNDARY_PARTICLE
-    is_b3 = is_b[:, None]
+    not_b = ~is_b
 
     dt = jnp.float32(params.time_step)
     pos_dt = jnp.float32(params.time_step * params.simulation_scale_inv)
@@ -130,9 +120,8 @@ def pcisph_pressure_loop(
     # Unit vectors i->j and the anti-clump branch depend only on the step-start
     # geometry (the reference uses cached neighbor distances, sphFluid.cl:1156),
     # so hoist them out of the loop.
-    diff = pos[:, None, :] - pos[g.j]  # [N,32,3] sim units
-    safe_q = jnp.maximum(nbrs.q, 1e-30)
-    unit_ij = diff / (safe_q * jnp.float32(params.h))[..., None]
+    inv_r = 1.0 / (jnp.maximum(nbrs.q, 1e-30) * jnp.float32(params.h))
+    unit_ij = (pos.expand(1) - pos.take(j)) * inv_r
     nonzero_r = nbrs.q > 0.0
 
     # Close-range anti-clump substitution (sphFluid.cl:1166-1170):
@@ -142,107 +131,104 @@ def pcisph_pressure_loop(
     term_far_geom = spiky_term(nbrs.q) * 0.5
 
     def body(_, carry):
-        p, a_p = carry
+        p, apx, apy, apz = carry
+        a_p = V3(apx, apy, apz)
         # -- predict positions (boundary stays put) --
-        v_star = vel + dt * a_p
-        x_star = pos + pos_dt * v_star
-        x_star = jnp.where(is_b3, pos, x_star)
+        x_star = pos + (vel + a_p * dt) * pos_dt
+        x_star = x_star.where(not_b, pos)
 
         # -- predicted density from predicted positions --
-        dstar = x_star[:, None, :] - x_star[g.j]
-        q2s = jnp.sum(dstar * dstar, axis=-1) * inv_h2
-        contrib = jnp.where(
-            g.mask & (q2s < 1.0), poly6_term(q2s), 0.0
-        )
+        ds = x_star.expand(1) - x_star.take(j)
+        q2s = ds.norm2() * inv_h2
+        contrib = jnp.where(mask & (q2s < 1.0), poly6_term(q2s), 0.0)
         rho_star = c_rho * jnp.maximum(jnp.sum(contrib, axis=1), 1.0)
 
         # -- pressure correction: all particles, non-negative increment --
         p = p + jnp.maximum(0.0, (rho_star - rho0) * delta)
 
         # -- pressure-force acceleration --
-        inv_rho_star_j = 1.0 / rho_star[g.j]
-        pair_p = p[:, None] + p[g.j]
-        term = jnp.where(close, term_close, term_far_geom * pair_p)
-        term = term * inv_rho_star_j
-        w = jnp.where(g.mask_h & nonzero_r, term, 0.0)
-        f = jnp.sum(w[..., None] * unit_ij, axis=1)
-        a_p = (c_press / rho_star)[:, None] * f
-        a_p = jnp.where(is_b3, 0.0, a_p)
-        return p, a_p
+        term = jnp.where(close, term_close, term_far_geom * (p[:, None] + p[j]))
+        term = term / rho_star[j]
+        w = jnp.where(mask_h & nonzero_r, term, 0.0)
+        f = (unit_ij * w).sum(axis=1)
+        a_p = f * (c_press / rho_star)
+        a_p = masked(not_b, a_p)
+        return p, a_p.x, a_p.y, a_p.z
 
-    p0 = jnp.zeros((n,), dtype=pos.dtype)
-    a0 = jnp.zeros_like(pos)
-    p, a_p = jax.lax.fori_loop(0, params.n_pcisph_iters, body, (p0, a0))
-    return PcisphResult(pressure=p, a_p=a_p)
+    zero = jnp.zeros((n,), dtype=pos.x.dtype)
+    p, apx, apy, apz = jax.lax.fori_loop(
+        0, params.n_pcisph_iters, body, (zero, zero, zero, zero)
+    )
+    return PcisphResult(pressure=p, a_p=V3(apx, apy, apz))
 
 
 def boundary_response(
-    x_new: jax.Array,
-    v_new: jax.Array,
-    pos0: jax.Array,
+    x_new: V3,
+    v_new: V3,
+    pos0: V3,
     ptype: jax.Array,
-    normal: jax.Array,
+    normal: V3,
     nbrs: NeighborList,
     params: SimParams,
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[V3, V3]:
     """Ihmsen et al. 2010 frozen-particle position projection + friction
     (sphFluid.cl:824-887). Distances in sim units against the *static*
     boundary positions; r0 = h/2."""
-    g = _gather_ids(nbrs)
+    j = jnp.maximum(nbrs.idx, 0)
     r0 = jnp.float32(params.r0)
-    is_b_j = (ptype[g.j] == BOUNDARY_PARTICLE) & g.mask
+    is_b_j = (ptype[j] == BOUNDARY_PARTICLE) & nbrs.valid
 
-    d = x_new[:, None, :] - pos0[g.j]
-    dist = jnp.sqrt(jnp.sum(d * d, axis=-1))
+    dist = (x_new.expand(1) - pos0.take(j)).norm()
     w = jnp.where(is_b_j, jnp.maximum(0.0, (r0 - dist) / r0), 0.0)
-    n_ci = jnp.sum(normal[g.j] * w[..., None], axis=1)
+    n_ci = (normal.take(j) * w).sum(axis=1)
     w_sum = jnp.sum(w, axis=1)
     w2_sum = jnp.sum(w * (r0 - dist) * is_b_j, axis=1)
 
-    n_len2 = jnp.sum(n_ci * n_ci, axis=-1)
+    n_len2 = n_ci.norm2()
     has = n_len2 > 0.0
-    n_len = jnp.sqrt(jnp.maximum(n_len2, 1e-30))
-    dx = (n_ci / n_len[:, None]) * (w2_sum / jnp.maximum(w_sum, 1e-30))[:, None]
-    x_out = jnp.where(has[:, None], x_new + dx, x_new)
+    inv_len = jax.lax.rsqrt(jnp.maximum(n_len2, 1e-30))
+    coef = inv_len * w2_sum / jnp.maximum(w_sum, 1e-30)
+    x_out = (x_new + n_ci * coef).where(has, x_new)
 
     # Tangential friction: projection uses the *unnormalized* n_ci, exactly as
     # the reference does (sphFluid.cl:878-884).
-    vn = jnp.sum(n_ci * v_new, axis=-1)
+    vn = n_ci.dot(v_new)
     fric = has & (vn < 0.0)
-    v_fric = (v_new - n_ci * vn[:, None]) * jnp.float32(0.99)
-    v_out = jnp.where(fric[:, None], v_fric, v_new)
+    v_fric = (v_new - n_ci * vn) * jnp.float32(0.99)
+    v_out = v_fric.where(fric, v_new)
     return x_out, v_out
 
 
 def integrate(
-    pos: jax.Array,
-    vel: jax.Array,
+    pos: V3,
+    vel: V3,
     ptype: jax.Array,
-    normal: jax.Array,
-    a_ext: jax.Array,
-    a_p: jax.Array,
+    normal: V3,
+    a_ext: V3,
+    a_p: V3,
     nbrs: NeighborList,
     params: SimParams,
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[V3, V3]:
     """Semi-implicit Euler + box clamp + boundary response
     (sphFluid.cl:1684-1808). Returns (pos, vel) with boundary rows untouched."""
     dt = jnp.float32(params.time_step)
     pos_dt = jnp.float32(params.time_step * params.simulation_scale_inv)
-    a = a_ext + a_p
-    v_new = vel + dt * a
-    x_new = pos + pos_dt * v_new
+    v_new = vel + (a_ext + a_p) * dt
+    x_new = pos + v_new * pos_dt
 
-    lo = jnp.asarray(params.box_min, dtype=pos.dtype)
-    hi = jnp.asarray(params.box_max, dtype=pos.dtype) - jnp.float32(1e-6)
-    x_new = jnp.clip(x_new, lo, hi)
+    lo = params.box_min
+    hi = params.box_max
+    eps = 1e-6
+    x_new = V3(
+        jnp.clip(x_new.x, jnp.float32(lo[0]), jnp.float32(hi[0] - eps)),
+        jnp.clip(x_new.y, jnp.float32(lo[1]), jnp.float32(hi[1] - eps)),
+        jnp.clip(x_new.z, jnp.float32(lo[2]), jnp.float32(hi[2] - eps)),
+    )
 
-    v_avg = (vel + v_new) * 0.5
+    v_avg = (vel + v_new) * jnp.float32(0.5)
     x_new, v_avg = boundary_response(
         x_new, v_avg, pos, ptype, normal, nbrs, params
     )
 
-    is_b = (ptype == BOUNDARY_PARTICLE)[:, None]
-    return (
-        jnp.where(is_b, pos, x_new),
-        jnp.where(is_b, vel, v_avg),
-    )
+    not_b = ptype != BOUNDARY_PARTICLE
+    return x_new.where(not_b, pos), v_avg.where(not_b, vel)

@@ -9,6 +9,9 @@ neighbor search, PCISPH, elastic/muscle forces, integration, membranes, and
 the muscle signal — is **one jit-compiled pure function**; XLA fuses and
 schedules it with zero host synchronization, and ``multi_step`` scans it so
 whole trajectories run device-side.
+
+State crosses the API boundary as ``[N, 3]`` arrays; internally everything is
+component-split (ops/vec3.py) to avoid TPU lane-padding blowups.
 """
 from __future__ import annotations
 
@@ -20,6 +23,7 @@ import jax.numpy as jnp
 
 from ..config import SimParams
 from ..models import muscle
+from ..ops import vec3
 from .elastic import add_elastic_forces
 from .grid import build_grid
 from .membranes import membrane_position_correction
@@ -62,20 +66,21 @@ class SceneLayout:
         return self.boundary_range[1] - self.boundary_range[0]
 
 
-@partial(jax.jit, static_argnames=("params", "layout"))
-def simulation_step(
+def step_fn(
     state: FluidState,
     springs: Springs,
     membranes: Membranes,
     params: SimParams,
     layout: SceneLayout,
 ) -> FluidState:
-    """Advance the simulation by one PCISPH step.
+    """One PCISPH step (pure; jit via ``simulation_step``).
 
     Same stage order as `owPhysicsFluidSimulator.cpp:79-149`.
     """
-    pos, vel = state.pos, state.vel
-    ptype, normal = state.ptype, state.normal
+    pos = vec3.split(state.pos)
+    vel = vec3.split(state.vel)
+    normal = vec3.split(state.normal)
+    ptype = state.ptype
 
     # -- neighbor phase --
     grid = build_grid(pos, params)
@@ -108,13 +113,25 @@ def simulation_step(
         activation = state.muscle_activation
 
     return FluidState(
-        pos=pos2,
-        vel=vel1,
+        pos=vec3.merge(pos2),
+        vel=vec3.merge(vel1),
         ptype=ptype,
-        normal=normal,
+        normal=state.normal,
         muscle_activation=activation,
         step=state.step + 1,
     )
+
+
+@partial(jax.jit, static_argnames=("params", "layout"))
+def simulation_step(
+    state: FluidState,
+    springs: Springs,
+    membranes: Membranes,
+    params: SimParams,
+    layout: SceneLayout,
+) -> FluidState:
+    """Advance the simulation by one PCISPH step."""
+    return step_fn(state, springs, membranes, params, layout)
 
 
 @partial(jax.jit, static_argnames=("params", "layout", "n_steps"))
@@ -129,10 +146,31 @@ def multi_step(
     """Run ``n_steps`` steps fully on device (lax.scan; no host round trips)."""
 
     def body(s, _):
-        return (
-            simulation_step(s, springs, membranes, params, layout),
-            None,
-        )
+        return step_fn(s, springs, membranes, params, layout), None
 
     out, _ = jax.lax.scan(body, state, None, length=n_steps)
     return out
+
+
+@partial(jax.jit, static_argnames=("params",))
+def diagnostics(state: FluidState, params: SimParams) -> dict:
+    """Density/pressure/neighbor diagnostics for the state API
+    (counterparts of getDensity_cpp / getParticleIndex_cpp etc.,
+    `owPhysicsFluidSimulator.h:14-21`)."""
+    pos = vec3.split(state.pos)
+    grid = build_grid(pos, params)
+    nbrs = find_neighbors(pos, grid, params)
+    rho = compute_density(nbrs, params)
+    res = pcisph_pressure_loop(
+        pos, vec3.split(state.vel), state.ptype, nbrs, params
+    )
+    from .grid import cell_occupancy_overflow
+    from .neighbors import neighbor_overflow
+
+    return {
+        "rho": rho,
+        "pressure": res.pressure,
+        "neighbor_count": jnp.sum(nbrs.valid, axis=1),
+        "neighbor_overflow": neighbor_overflow(nbrs),
+        "cell_overflow": cell_occupancy_overflow(grid, params),
+    }

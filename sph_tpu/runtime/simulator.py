@@ -1,0 +1,152 @@
+"""High-level simulation driver.
+
+The counterpart of ``owPhysicsFluidSimulator`` + the headless half of
+``owWorldSimulation`` (`/root/reference/src/owPhysicsFluidSimulator.h:14-21`,
+`src/owWorldSimulation.cpp:961-1017`): owns device state, steps the physics,
+exposes the same state getters (positions, velocities, densities, pressures,
+elastic connections, membranes), drives trajectory dumps every
+``dump_interval`` steps (reference ``iter_step = 10``), and adds what the
+reference lacks: true checkpoint/resume and muscle-signal override.
+
+Stepping is chunked: ``run(n)`` executes ceil(n / chunk) fused device scans
+with no host synchronization inside a chunk.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+
+from ..config import SimParams
+from ..constants import MUSCLE_COUNT
+from ..core.state import FluidState
+from ..core.step import diagnostics, multi_step, simulation_step
+from ..scene.scene import Scene
+from ..scene.io import TrajectoryDumper
+from .checkpoint import load_checkpoint, save_checkpoint
+from .timing import StepTimer
+
+
+class Simulator:
+    def __init__(
+        self,
+        scene: Scene,
+        params: SimParams | None = None,
+        dump_dir: str | None = None,
+        dump_interval: int = 10,
+        log=None,
+    ):
+        self.params = params or SimParams()
+        self.scene = scene
+        self.layout = scene.layout()
+        self.state, self.springs, self.membranes = scene.device_state()
+        self.timer = StepTimer(log=log)
+        self._dumper = (
+            TrajectoryDumper(dump_dir, scene) if dump_dir else None
+        )
+        self.dump_interval = dump_interval
+        if self._dumper:
+            self._dumper.append(np.asarray(self.state.pos))
+
+    # ------------------------------------------------------------------
+    # stepping
+    # ------------------------------------------------------------------
+
+    @property
+    def step_count(self) -> int:
+        return int(self.state.step)
+
+    def step(self, n: int = 1) -> None:
+        """Advance n steps; dumps trajectory frames at the dump interval."""
+        if self._dumper is None:
+            self.state = multi_step(
+                self.state, self.springs, self.membranes,
+                self.params, self.layout, n,
+            )
+            return
+        done = 0
+        while done < n:
+            upto = min(
+                n - done,
+                self.dump_interval - self.step_count % self.dump_interval,
+            )
+            self.state = multi_step(
+                self.state, self.springs, self.membranes,
+                self.params, self.layout, upto,
+            )
+            done += upto
+            if self.step_count % self.dump_interval == 0:
+                self._dumper.append(np.asarray(self.state.pos))
+
+    def step_blocking(self, n: int = 1) -> float:
+        """Step and wait; returns wall-clock milliseconds."""
+        self.timer.refresh()
+        self.step(n)
+        jax.block_until_ready(self.state.pos)
+        return self.timer.elapsed_ms
+
+    # ------------------------------------------------------------------
+    # state API (reference getters, owPhysicsFluidSimulator.h:14-21)
+    # ------------------------------------------------------------------
+
+    def get_position(self) -> np.ndarray:
+        return np.asarray(self.state.pos)
+
+    def get_velocity(self) -> np.ndarray:
+        return np.asarray(self.state.vel)
+
+    def get_density(self) -> np.ndarray:
+        return np.asarray(diagnostics(self.state, self.params)["rho"])
+
+    def get_pressure(self) -> np.ndarray:
+        return np.asarray(diagnostics(self.state, self.params)["pressure"])
+
+    def get_diagnostics(self) -> dict:
+        return {
+            k: np.asarray(v)
+            for k, v in diagnostics(self.state, self.params).items()
+        }
+
+    def get_elastic_connections(self):
+        return (
+            np.asarray(self.springs.idx),
+            np.asarray(self.springs.rest),
+            np.asarray(self.springs.muscle),
+        )
+
+    def get_membranes(self) -> np.ndarray:
+        return np.asarray(self.membranes.tris)
+
+    def get_muscle_activation(self) -> np.ndarray:
+        return np.asarray(self.state.muscle_activation)
+
+    def set_muscle_activation(self, values) -> None:
+        """Manual override (the reference's interactive '1'..'9' keys,
+        `owWorldSimulation.cpp:771-844`). Only meaningful when the scene's
+        wave model is off, otherwise the next step overwrites it."""
+        act = np.zeros(MUSCLE_COUNT, np.float32)
+        values = np.asarray(values, np.float32).ravel()
+        act[: len(values)] = values
+        self.state = FluidState(
+            pos=self.state.pos,
+            vel=self.state.vel,
+            ptype=self.state.ptype,
+            normal=self.state.normal,
+            muscle_activation=jax.numpy.asarray(act),
+            step=self.state.step,
+        )
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume
+    # ------------------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        save_checkpoint(
+            path, self.state, self.springs, self.membranes,
+            color=self.scene.color,
+        )
+
+    def restore(self, path: str) -> None:
+        state, springs, membranes, color = load_checkpoint(path)
+        self.state, self.springs, self.membranes = state, springs, membranes
+        if color is not None:
+            self.scene.color = color

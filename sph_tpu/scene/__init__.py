@@ -1,0 +1,10 @@
+from .scene import Scene
+from .worm import generate_worm_scene, generate_liquid_box_scene
+from . import io
+
+__all__ = [
+    "Scene",
+    "generate_worm_scene",
+    "generate_liquid_box_scene",
+    "io",
+]

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 from sph_tpu.config import SimParams
 from sph_tpu.core.grid import build_grid, cell_coords_of, linear_cell_id
 from sph_tpu.core.neighbors import find_neighbors
+from sph_tpu.ops import vec3
 
 
 def small_params(**kw):
@@ -27,9 +28,10 @@ def random_cloud(n, params, seed=0, margin=0.01):
 def test_grid_csr_consistency():
     params = small_params()
     pos = random_cloud(500, params)
-    grid = build_grid(jnp.asarray(pos), params)
+    grid = build_grid(vec3.split(jnp.asarray(pos)), params)
 
-    coords = np.asarray(grid.cell_coords)
+    coords = np.stack([np.asarray(grid.ccx), np.asarray(grid.ccy),
+                       np.asarray(grid.ccz)], axis=1)
     order = np.asarray(grid.order)
     start = np.asarray(grid.cell_start)
 
@@ -66,8 +68,8 @@ def brute_force_neighbors(pos, h, max_n):
 def test_neighbors_match_bruteforce():
     params = small_params()
     pos = random_cloud(400, params, seed=1)
-    grid = build_grid(jnp.asarray(pos), params)
-    nbrs = find_neighbors(jnp.asarray(pos), grid, params)
+    grid = build_grid(vec3.split(jnp.asarray(pos)), params)
+    nbrs = find_neighbors(vec3.split(jnp.asarray(pos)), grid, params)
 
     idx = np.asarray(nbrs.idx)
     q = np.asarray(nbrs.q)
@@ -95,8 +97,8 @@ def test_neighbors_dense_cluster_truncates_to_32():
         np.float32
     )
     pos = np.clip(pos, 0.01, np.array(params.box_max) - 0.01)
-    grid = build_grid(jnp.asarray(pos), params)
-    nbrs = find_neighbors(jnp.asarray(pos), grid, params)
+    grid = build_grid(vec3.split(jnp.asarray(pos)), params)
+    nbrs = find_neighbors(vec3.split(jnp.asarray(pos)), grid, params)
     valid = np.asarray(nbrs.valid)
     idx = np.asarray(nbrs.idx)
     q = np.asarray(nbrs.q)
@@ -113,8 +115,8 @@ def test_neighbors_dense_cluster_truncates_to_32():
 def test_neighbor_q_is_scale_free():
     params = small_params()
     pos = random_cloud(100, params, seed=2)
-    grid = build_grid(jnp.asarray(pos), params)
-    nbrs = find_neighbors(jnp.asarray(pos), grid, params)
+    grid = build_grid(vec3.split(jnp.asarray(pos)), params)
+    nbrs = find_neighbors(vec3.split(jnp.asarray(pos)), grid, params)
     q = np.asarray(nbrs.q)
     valid = np.asarray(nbrs.valid)
     assert np.all(q[valid] >= 0) and np.all(q[valid] <= 1.0 + 1e-6)
@@ -123,7 +125,7 @@ def test_neighbor_q_is_scale_free():
 
 def test_empty_and_single_particle():
     params = small_params()
-    pos = jnp.asarray(np.array([[5.0, 5.0, 5.0]], np.float32))
+    pos = vec3.split(jnp.asarray(np.array([[5.0, 5.0, 5.0]], np.float32)))
     grid = build_grid(pos, params)
     nbrs = find_neighbors(pos, grid, params)
     assert not bool(np.asarray(nbrs.valid).any())

@@ -21,6 +21,7 @@ from sph_tpu.core.pcisph import (
     pcisph_pressure_loop,
 )
 from sph_tpu.core.state import FluidState, Springs, empty_membranes, empty_springs
+from sph_tpu.ops import vec3
 from sph_tpu.core.step import SceneLayout, simulation_step
 
 
@@ -55,8 +56,9 @@ def boundary_floor(params, y=1.0):
 
 
 def jax_neighbors(pos, params):
-    grid = build_grid(jnp.asarray(pos), params)
-    return find_neighbors(jnp.asarray(pos), grid, params)
+    v = vec3.split(jnp.asarray(pos))
+    grid = build_grid(v, params)
+    return find_neighbors(v, grid, params)
 
 
 def test_density_matches_oracle():
@@ -81,12 +83,12 @@ def test_external_forces_match_oracle():
     normal = np.zeros((n, 3), np.float32)
     nbrs = jax_neighbors(pos, params)
     rho = compute_density(nbrs, params)
-    a = np.asarray(
+    a = np.asarray(vec3.merge(
         compute_external_forces(
-            jnp.asarray(pos), jnp.asarray(vel), rho,
-            jnp.asarray(ptype), jnp.asarray(normal), nbrs, params,
+            vec3.split(jnp.asarray(pos)), vec3.split(jnp.asarray(vel)), rho,
+            jnp.asarray(ptype), vec3.split(jnp.asarray(normal)), nbrs, params,
         )
-    )
+    ))
     onbrs = oracle.exact_neighbors(pos.astype(np.float64), params.h)
     orho = oracle.density(pos.astype(np.float64), onbrs, params)
     oa = oracle.external_forces(
@@ -104,10 +106,11 @@ def test_pressure_loop_matches_oracle():
     ptype = np.full(n, LIQUID_PARTICLE, np.int32)
     nbrs = jax_neighbors(pos, params)
     res = pcisph_pressure_loop(
-        jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(ptype), nbrs, params
+        vec3.split(jnp.asarray(pos)), vec3.split(jnp.asarray(vel)),
+        jnp.asarray(ptype), nbrs, params
     )
     p_jax = np.asarray(res.pressure)
-    ap_jax = np.asarray(res.a_p)
+    ap_jax = np.asarray(vec3.merge(res.a_p))
 
     onbrs = oracle.exact_neighbors(pos.astype(np.float64), params.h)
     p_o, ap_o = oracle.pcisph_loop(
@@ -246,12 +249,12 @@ def test_elastic_force_unit():
         rest=jnp.asarray(np.array([[rest] + [0] * 31], np.float32)),
         muscle=jnp.asarray(np.zeros((1, 32), np.int32)),
     )
-    a = np.asarray(
+    a = np.asarray(vec3.merge(
         add_elastic_forces(
-            jnp.zeros((2, 3)), jnp.asarray(pos), springs,
-            jnp.zeros(MUSCLE_COUNT), params,
+            vec3.split(jnp.zeros((2, 3))), vec3.split(jnp.asarray(pos)),
+            springs, jnp.zeros(MUSCLE_COUNT), params,
         )
-    )
+    ))
     r = params.r0 * params.simulation_scale
     # stretched spring pulls particle 0 toward its +x neighbor:
     # a0 = -(d/r)(r-rest)k with d = x0-x1 = (-r, 0, 0)

@@ -1,0 +1,102 @@
+"""Simulator facade, checkpoint/resume, CLI, and renderer tests."""
+import os
+
+import numpy as np
+
+from sph_tpu.cli import main as cli_main
+from sph_tpu.config import SimParams
+from sph_tpu.runtime import Simulator
+from sph_tpu.scene import generate_liquid_box_scene
+
+H = 3.34
+
+
+def box_scene():
+    params = SimParams(x_max=8 * H, y_max=8 * H, z_max=8 * H)
+    return generate_liquid_box_scene(params, fill_fraction=0.5), params
+
+
+def test_simulator_step_and_getters(tmp_path):
+    scene, params = box_scene()
+    sim = Simulator(scene, params, dump_dir=str(tmp_path), dump_interval=5)
+    sim.step(12)
+    assert sim.step_count == 12
+    pos = sim.get_position()
+    assert np.isfinite(pos).all()
+    rho = sim.get_density()
+    assert rho.shape == (scene.n_particles,)
+    assert (rho > 0).all()
+    d = sim.get_diagnostics()
+    assert d["neighbor_count"].max() <= 32
+    assert int(d["cell_overflow"]) == 0
+    # dump frames at steps 0, 5, 10 (interval boundaries crossed)
+    from sph_tpu.scene.io import load_trajectory
+
+    _, _, frames = load_trajectory(str(tmp_path / "position_buffer.txt"))
+    assert len(frames) == 3
+
+
+def test_checkpoint_resume_exact(tmp_path):
+    scene, params = box_scene()
+    sim = Simulator(scene, params)
+    sim.step(7)
+    ckpt = str(tmp_path / "state.npz")
+    sim.save(ckpt)
+
+    sim2 = Simulator(scene, params)
+    sim2.restore(ckpt)
+    assert sim2.step_count == 7
+    # continuing must be bit-identical to not restoring
+    sim.step(5)
+    sim2.step(5)
+    np.testing.assert_array_equal(sim.get_position(), sim2.get_position())
+    np.testing.assert_array_equal(sim.get_velocity(), sim2.get_velocity())
+
+
+def test_muscle_override():
+    scene, params = box_scene()
+    sim = Simulator(scene, params)
+    sim.set_muscle_activation([0.5, 0.25])
+    act = sim.get_muscle_activation()
+    assert act[0] == 0.5 and act[1] == 0.25 and act[2:].sum() == 0
+
+
+def test_cli_run_dump_replay(tmp_path, capsys):
+    dump = tmp_path / "buffers"
+    frames = tmp_path / "frames"
+    rc = cli_main([
+        "run", "--scene", "box", "--box", "8,8,8", "--fill", "0.5", "--steps", "6",
+        "--dump", str(dump), "--dump-every", "3", "--report-every", "3",
+    ])
+    assert rc == 0
+    assert (dump / "position_buffer.txt").exists()
+    out = capsys.readouterr().out
+    assert "[[ step 6 ]]" in out
+
+    rc = cli_main([
+        "replay", "--buffers", str(dump), "--render", str(frames),
+    ])
+    assert rc == 0
+    assert len(list(frames.glob("*.png"))) == 3  # steps 0, 3, 6
+
+
+def test_cli_info(capsys):
+    rc = cli_main(["info", "--scene", "box", "--box", "8,8,8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"liquid"' in out and '"grid_dims"' in out
+
+
+def test_cli_checkpoint_restore(tmp_path, capsys):
+    ck = str(tmp_path / "ck.npz")
+    rc = cli_main([
+        "run", "--scene", "box", "--box", "8,8,8", "--fill", "0.5", "--steps", "4",
+        "--checkpoint", ck,
+    ])
+    assert rc == 0 and os.path.exists(ck)
+    rc = cli_main([
+        "run", "--scene", "box", "--box", "8,8,8", "--fill", "0.5", "--steps", "2",
+        "--restore", ck,
+    ])
+    assert rc == 0
+    assert "[[ step 6 ]]" in capsys.readouterr().out
