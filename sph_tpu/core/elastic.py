@@ -11,6 +11,9 @@ single gather here. The commented-out center-of-mass damping block
 
 Springs live in absolute particle-id space, so the reference's load-path
 dependent ``offset`` argument (`owOpenCLSolver.cpp:435`) does not exist.
+Under shard_map the (small, replicated) spring rows are evaluated against
+global positions and scattered into the local acceleration shard via
+``local_offset``.
 """
 from __future__ import annotations
 
@@ -23,21 +26,21 @@ from .state import Springs
 
 
 def elastic_accel(
-    pos: V3,
+    pos_g: V3,
     springs: Springs,
     activation: jax.Array,
     params: SimParams,
 ) -> V3:
     """Spring + muscle acceleration per spring row (V3 of [Ne]).
 
-    Shapes: pos of [N]; activation [MUSCLE_COUNT].
+    Shapes: pos_g of [N] (global); activation [MUSCLE_COUNT].
     """
     i = springs.row_ids                       # [Ne]
     valid = springs.idx >= 0                  # [Ne,32]
     j = jnp.maximum(springs.idx, 0)
 
     scale = jnp.float32(params.simulation_scale)
-    d = (pos.take(i).expand(1) - pos.take(j)) * scale  # V3 of [Ne,32], meters
+    d = (pos_g.take(i).expand(1) - pos_g.take(j)) * scale  # [Ne,32], meters
     r = d.norm()
     ok = valid & (r != 0.0)
     inv_r = 1.0 / jnp.maximum(r, 1e-30)
@@ -57,18 +60,26 @@ def elastic_accel(
 
 def add_elastic_forces(
     a_ext: V3,
-    pos: V3,
+    pos_g: V3,
     springs: Springs,
     activation: jax.Array,
     params: SimParams,
+    local_offset: jax.Array | int = 0,
 ) -> V3:
-    """Scatter-add spring + muscle accelerations into ``a_ext``."""
+    """Scatter-add spring + muscle accelerations into the local ``a_ext``.
+
+    ``local_offset``: global id of a_ext's row 0 (shard start); rows outside
+    the local range are dropped by the scatter's out-of-bounds mode.
+    """
     if springs.n_elastic == 0:
         return a_ext
-    a = elastic_accel(pos, springs, activation, params)
-    i = springs.row_ids
+    a = elastic_accel(pos_g, springs, activation, params)
+    i_loc = springs.row_ids - local_offset
+    n_loc = a_ext.x.shape[0]
+    in_range = (i_loc >= 0) & (i_loc < n_loc)
+    i_safe = jnp.where(in_range, i_loc, n_loc)  # OOB index -> dropped
     return V3(
-        a_ext.x.at[i].add(a.x),
-        a_ext.y.at[i].add(a.y),
-        a_ext.z.at[i].add(a.z),
+        a_ext.x.at[i_safe].add(a.x, mode="drop"),
+        a_ext.y.at[i_safe].add(a.y, mode="drop"),
+        a_ext.z.at[i_safe].add(a.z, mode="drop"),
     )

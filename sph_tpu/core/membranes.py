@@ -17,6 +17,13 @@ oriented toward x_i. We precompute unit normals per triangle once per step
 and orient by the sign of a dot product, eliminating the per-(particle,
 neighbor, triangle) solve. All math is component-split (ops/vec3.py).
 
+Two evaluation modes:
+* single chip — liquid particles are a contiguous block, so the kernel runs
+  on a **static slice** (the reference's per-particle type check,
+  cl:1393-1395, for free);
+* shard_map — each shard evaluates all its rows with a liquid mask against
+  global positions.
+
 Documented deviation: the reference zeroes the **z** component of the
 particle-to-neighbor vector before taking its length (cl:1437, a likely typo
 for ``.w`` when converting from subscripting); we use the true 3D distance.
@@ -29,17 +36,17 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SimParams
-from ..constants import ELASTIC_PARTICLE
-from ..ops.vec3 import V3, masked
+from ..constants import ELASTIC_PARTICLE, LIQUID_PARTICLE
+from ..ops.vec3 import V3
 from .neighbors import NeighborList
 from .state import Membranes
 
 
-def triangle_normals(pos: V3, membranes: Membranes) -> tuple[V3, V3]:
+def triangle_normals(pos_g: V3, membranes: Membranes) -> tuple[V3, V3]:
     """Unit plane normals and reference vertex positions (V3 of [M])."""
-    va = pos.take(membranes.tris[:, 0])
-    vb = pos.take(membranes.tris[:, 1])
-    vc = pos.take(membranes.tris[:, 2])
+    va = pos_g.take(membranes.tris[:, 0])
+    vb = pos_g.take(membranes.tris[:, 1])
+    vc = pos_g.take(membranes.tris[:, 2])
     ab, ac = vb - va, vc - va
     n = V3(
         ab.y * ac.z - ab.z * ac.y,
@@ -51,72 +58,94 @@ def triangle_normals(pos: V3, membranes: Membranes) -> tuple[V3, V3]:
     return n * inv, va
 
 
-def membrane_position_correction(
-    pos: V3,
-    ptype: jax.Array,
-    nbrs: NeighborList,
+def _membrane_delta(
+    x_i: V3,
+    liquid_mask: jax.Array,
+    idx: jax.Array,
+    valid: jax.Array,
+    pos_g: V3,
+    ptype_g: jax.Array,
     membranes: Membranes,
     params: SimParams,
-    liquid_range: tuple[int, int],
 ) -> V3:
-    """Return updated positions after membrane interaction.
+    """Position correction for the given rows (V3 of [R])."""
+    n_plane, ref_a = triangle_normals(pos_g, membranes)
 
-    Only particles in the (static) ``liquid_range`` slice are processed —
-    liquid particles are contiguous in both scene layouts, so this is the
-    static-shape equivalent of the reference's per-particle type check
-    (cl:1393-1395).
-    """
-    if membranes.n_tris == 0:
-        return pos
-    lo, hi = liquid_range
-    if hi <= lo:
-        return pos
-
-    n_plane, ref_a = triangle_normals(pos, membranes)
-
-    sl = slice(lo, hi)
-    x_i = V3(pos.x[sl], pos.y[sl], pos.z[sl])   # [L]
-    idx = nbrs.idx[sl]                           # [L,32]
-    valid = nbrs.valid[sl]
     j = jnp.maximum(idx, 0)
-    elastic_j = valid & (ptype[j] == ELASTIC_PARTICLE)
+    elastic_j = valid & (ptype_g[j] == ELASTIC_PARTICLE) \
+        & liquid_mask[:, None]
 
     # 3D particle-to-neighbor distance (see deviation note in module doc).
-    dist_ij = (x_i.expand(1) - pos.take(j)).norm()  # [L,32]
+    dist_ij = (x_i.expand(1) - pos_g.take(j)).norm()  # [R,32]
 
-    # Triangles of each elastic neighbor: [L,32,7].
+    # Triangles of each elastic neighbor: [R,32,7].
     t = membranes.particle_tris[j]
     t_ok = elastic_j[..., None] & (t >= 0)
     t_safe = jnp.maximum(t, 0)
-    n_t = n_plane.take(t_safe)                   # V3 of [L,32,7]
+    n_t = n_plane.take(t_safe)                   # V3 of [R,32,7]
     a_t = ref_a.take(t_safe)
 
     # Orient each plane normal toward the liquid particle (the reference's
     # normalize(x_i - projection), cl:1477-1483).
-    s = (x_i.expand(1).expand(2) - a_t).dot(n_t)  # [L,32,7]
+    s = (x_i.expand(1).expand(2) - a_t).dot(n_t)  # [R,32,7]
     n_nonzero = n_t.norm2() > 0.0
     contrib_ok = t_ok & (s != 0.0) & n_nonzero
     sgn = jnp.where(contrib_ok, jnp.sign(s), 0.0)
 
-    cnt = jnp.sum(contrib_ok, axis=-1)            # [L,32]
+    cnt = jnp.sum(contrib_ok, axis=-1)            # [R,32]
     inv_cnt = 1.0 / jnp.maximum(cnt, 1)
-    n_avg = (n_t * sgn).sum(axis=2) * inv_cnt     # V3 of [L,32]
+    n_avg = (n_t * sgn).sum(axis=2) * inv_cnt     # V3 of [R,32]
 
     is_entry = cnt > 0                            # neighbor in >=1 membrane
     r0 = jnp.float32(params.r0)
     w = jnp.where(is_entry, jnp.maximum(0.0, (r0 - dist_ij) / r0), 0.0)
-    n_ci = (n_avg * w).sum(axis=1)                # V3 of [L]
+    n_ci = (n_avg * w).sum(axis=1)                # V3 of [R]
     w_sum = jnp.sum(w, axis=1)
     w2_sum = jnp.sum(w * (r0 - dist_ij) * is_entry, axis=1)
 
     n_len2 = n_ci.norm2()
-    has = n_len2 > 0.0
+    has = (n_len2 > 0.0) & liquid_mask
     inv_len = jax.lax.rsqrt(jnp.maximum(n_len2, 1e-30))
     coef = jnp.where(has, inv_len * w2_sum / jnp.maximum(w_sum, 1e-30), 0.0)
-    delta = n_ci * coef
+    return n_ci * coef
 
-    return V3(
-        pos.x.at[sl].add(delta.x),
-        pos.y.at[sl].add(delta.y),
-        pos.z.at[sl].add(delta.z),
+
+def membrane_position_correction(
+    pos_l: V3,
+    ptype_l: jax.Array,
+    nbrs: NeighborList,
+    membranes: Membranes,
+    params: SimParams,
+    liquid_range: tuple[int, int] | None = None,
+    pos_g: V3 | None = None,
+    ptype_g: jax.Array | None = None,
+) -> V3:
+    """Updated local positions after membrane interaction."""
+    if membranes.n_tris == 0:
+        return pos_l
+    pos_is_global = pos_g is None
+    pos_g = pos_l if pos_g is None else pos_g
+    ptype_g = ptype_l if ptype_g is None else ptype_g
+
+    if liquid_range is not None and pos_is_global:
+        lo, hi = liquid_range
+        if hi <= lo:
+            return pos_l
+        sl = slice(lo, hi)
+        x_i = V3(pos_l.x[sl], pos_l.y[sl], pos_l.z[sl])
+        delta = _membrane_delta(
+            x_i, jnp.ones(hi - lo, bool), nbrs.idx[sl], nbrs.valid[sl],
+            pos_g, ptype_g, membranes, params,
+        )
+        return V3(
+            pos_l.x.at[sl].add(delta.x),
+            pos_l.y.at[sl].add(delta.y),
+            pos_l.z.at[sl].add(delta.z),
+        )
+
+    liquid_mask = ptype_l == LIQUID_PARTICLE
+    delta = _membrane_delta(
+        pos_l, liquid_mask, nbrs.idx, nbrs.valid,
+        pos_g, ptype_g, membranes, params,
     )
+    return pos_l + delta

@@ -6,14 +6,19 @@ histogram to pick a threshold capturing ~32 neighbors, pass 1 re-scanned the
 same 8 cells to fill the list. On TPU we gather all candidates from the same
 2x2x2 corner cell block in one shot and select the **exact** 32 nearest within
 radius ``h`` with a top-k — strictly more accurate than the histogram
-approximation, same fixed [N, 32] output shape, one pass.
+approximation, same fixed [Nq, 32] output shape, one pass.
 
 Output convention mirrors the padded ``neighborMap`` (`sphFluid.cl:64-92`):
 -1 ids for empty slots; distances are stored nondimensionally as
 ``q = r / h`` (identically ``r_scaled / h_scaled``).
 
+Local/global split: the query set may be a shard of the particles while the
+grid and position table are global — this is how the shard_map data-parallel
+path partitions the search without duplicating physics code. Single-chip
+callers pass the same arrays for both.
+
 All vector math is component-split (see ops/vec3.py): candidate distance
-intermediates are ``[N, 8*K]`` scalar planes, never ``[N, 8*K, 3]``.
+intermediates are ``[Nq, 8*K]`` scalar planes, never ``[Nq, 8*K, 3]``.
 """
 from __future__ import annotations
 
@@ -24,7 +29,7 @@ import jax.numpy as jnp
 
 from ..config import SimParams
 from ..ops.vec3 import V3
-from .grid import Grid
+from .grid import Grid, cell_coords_of
 
 # The 8 searched cells: own cell + 7 toward the nearest cell corner
 # (sphFluid.cl:266-308). Each entry selects which axes apply the +-1 delta.
@@ -35,22 +40,32 @@ _CORNER_COMBOS = (
 
 
 class NeighborList(NamedTuple):
-    idx: jax.Array    # [N,32] i32 neighbor particle ids (original space), -1 pad
-    q: jax.Array      # [N,32] f32 r/h in [0,1], 0 where padded
-    valid: jax.Array  # [N,32] bool
+    idx: jax.Array    # [Nq,32] i32 neighbor ids in GLOBAL index space, -1 pad
+    q: jax.Array      # [Nq,32] f32 r/h in [0,1], 0 where padded
+    valid: jax.Array  # [Nq,32] bool
 
 
 def find_neighbors(
-    pos: V3, grid: Grid, params: SimParams
+    query: V3,
+    query_ids: jax.Array,
+    pos: V3,
+    grid: Grid,
+    params: SimParams,
 ) -> NeighborList:
-    n = pos.x.shape[0]
+    """Neighbors of ``query`` particles against the global ``pos``/``grid``.
+
+    ``query_ids``: global particle ids of the query rows (for
+    self-exclusion). Single chip: query = pos, query_ids = arange(N).
+    """
+    n_glob = pos.x.shape[0]
     k_cap = params.cell_capacity
     m = params.max_neighbors
-    nx, ny, nz = params.grid_dims
-    dims = (nx, ny, nz)
+    dims = params.grid_dims
     bx, by, bz = params.box_min
     cell = jnp.float32(params.cell_size)
     h = jnp.float32(params.h)
+
+    qc = cell_coords_of(query, params)
 
     # Direction of the nearest cell corner per axis: the interaction radius h
     # is half the cell edge, so candidates fit in own cell + that corner block
@@ -59,16 +74,16 @@ def find_neighbors(
         frac = (p - jnp.float32(b)) - cc.astype(p.dtype) * cell
         return jnp.where(frac < h, -1, 1).astype(jnp.int32)
 
-    dx = corner_delta(pos.x, bx, grid.ccx)
-    dy = corner_delta(pos.y, by, grid.ccy)
-    dz = corner_delta(pos.z, bz, grid.ccz)
+    dx = corner_delta(query.x, bx, qc.x)
+    dy = corner_delta(query.y, by, qc.y)
+    dz = corner_delta(query.z, bz, qc.z)
 
     slots = jnp.arange(k_cap, dtype=jnp.int32)[None, :]
     cand_chunks = []
     for mx, my, mz in _CORNER_COMBOS:
-        cx = grid.ccx + (dx * mx if mx else 0)
-        cy = grid.ccy + (dy * my if my else 0)
-        cz = grid.ccz + (dz * mz if mz else 0)
+        cx = qc.x + (dx * mx if mx else 0)
+        cy = qc.y + (dy * my if my else 0)
+        cz = qc.z + (dz * mz if mz else 0)
         in_range = (
             (cx >= 0) & (cx < dims[0])
             & (cy >= 0) & (cy < dims[1])
@@ -82,21 +97,20 @@ def find_neighbors(
         start = grid.cell_start[lin]
         count = jnp.minimum(grid.cell_start[lin + 1] - start, k_cap)
         slot_ok = (slots < count[:, None]) & in_range[:, None]
-        gather_at = jnp.minimum(start[:, None] + slots, n - 1)
+        gather_at = jnp.minimum(start[:, None] + slots, n_glob - 1)
         cand = grid.order[gather_at]
         cand_chunks.append(jnp.where(slot_ok, cand, -1))
 
-    cand = jnp.concatenate(cand_chunks, axis=1)  # [N, 8*k_cap] i32
+    cand = jnp.concatenate(cand_chunks, axis=1)  # [Nq, 8*k_cap] i32
     safe = jnp.maximum(cand, 0)
 
-    # componentwise distance planes — no [N, 8K, 3] intermediate
-    d2 = (pos.x[:, None] - pos.x[safe]) ** 2
-    d2 = d2 + (pos.y[:, None] - pos.y[safe]) ** 2
-    d2 = d2 + (pos.z[:, None] - pos.z[safe]) ** 2
+    # componentwise distance planes — no [Nq, 8K, 3] intermediate
+    d2 = (query.x[:, None] - pos.x[safe]) ** 2
+    d2 = d2 + (query.y[:, None] - pos.y[safe]) ** 2
+    d2 = d2 + (query.z[:, None] - pos.z[safe]) ** 2
 
     h2 = jnp.float32(params.h * params.h)
-    me = jnp.arange(n, dtype=jnp.int32)[:, None]
-    ok = (cand >= 0) & (cand != me) & (d2 <= h2)
+    ok = (cand >= 0) & (cand != query_ids[:, None]) & (d2 <= h2)
 
     key = jnp.where(ok, d2, jnp.inf)
     neg_d2, sel = jax.lax.top_k(-key, m)

@@ -14,6 +14,13 @@ vec3` for the component-split layout). Per-kernel citations:
 * boundary response — `sphFluid.cl:824-887` (Ihmsen et al. 2010 frozen particles)
 * integrate         — `sphFluid.cl:1684-1808`
 
+Local/global split for SPMD: every function computes outputs for a *local*
+row set (a shard of the particles) while neighbor gathers read *global*
+arrays; quantities that evolve inside the PCISPH loop are re-globalized
+through a ``gather`` callable — identity on one chip, ``lax.all_gather`` on
+the particle mesh axis under shard_map. Single-chip callers pass the same
+array for local and global and ``gather=None``.
+
 Reference quirks preserved deliberately (they shape the dynamics):
 * Position prediction integrates **only** the pressure acceleration; the
   viscous/gravity/elastic half is commented out upstream (sphFluid.cl:924).
@@ -28,7 +35,7 @@ Reference quirks preserved deliberately (they shape the dynamics):
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +45,12 @@ from ..constants import BOUNDARY_PARTICLE
 from ..ops.smoothing import poly6_term, spiky_term, visc_term
 from ..ops.vec3 import V3, masked
 from .neighbors import NeighborList
+
+GatherFn = Callable
+
+
+def _identity_gather(x):
+    return x
 
 
 def compute_density(nbrs: NeighborList, params: SimParams) -> jax.Array:
@@ -54,60 +67,77 @@ def compute_density(nbrs: NeighborList, params: SimParams) -> jax.Array:
 
 
 def compute_external_forces(
-    pos: V3,
-    vel: V3,
-    rho: jax.Array,
-    ptype: jax.Array,
-    normal: V3,
+    pos_l: V3,
+    vel_l: V3,
+    rho_l: jax.Array,
+    ptype_l: jax.Array,
     nbrs: NeighborList,
     params: SimParams,
+    pos_g: V3 | None = None,
+    vel_g: V3 | None = None,
+    rho_g: jax.Array | None = None,
+    ptype_g: jax.Array | None = None,
+    normal_g: V3 | None = None,
 ) -> V3:
-    """Viscosity + gravity + surface tension -> a_ext (V3 of [N]).
+    """Viscosity + gravity + surface tension -> a_ext (V3 of local rows).
 
     Boundary particles get zero (they never move, sphFluid.cl:616-622).
+    ``normal_g`` must be provided (boundary normals of all particles).
     """
+    pos_g = pos_l if pos_g is None else pos_g
+    vel_g = vel_l if vel_g is None else vel_g
+    rho_g = rho_l if rho_g is None else rho_g
+    ptype_g = ptype_l if ptype_g is None else ptype_g
+
     j = jnp.maximum(nbrs.idx, 0)
     mask = nbrs.valid & (nbrs.q < 1.0)
 
     # Boundary particles' "velocity" is their wall normal (see module doc).
-    is_b_j = ptype[j] == BOUNDARY_PARTICLE
-    vel_j = normal.take(j).where(is_b_j, vel.take(j))
+    is_b_j = ptype_g[j] == BOUNDARY_PARTICLE
+    vel_j = normal_g.take(j).where(is_b_j, vel_g.take(j))
 
-    w_v = jnp.where(mask, visc_term(nbrs.q) / rho[j], 0.0)
-    visc = ((vel_j - vel.expand(1)) * w_v).sum(axis=1)
-    a = visc * (jnp.float32(params.c_visc) / rho)
+    w_v = jnp.where(mask, visc_term(nbrs.q) / rho_g[j], 0.0)
+    visc = ((vel_j - vel_l.expand(1)) * w_v).sum(axis=1)
+    a = visc * (jnp.float32(params.c_visc) / rho_l)
 
-    st = masked(mask, pos.expand(1) - pos.take(j)).sum(axis=1)
+    st = masked(mask, pos_l.expand(1) - pos_g.take(j)).sum(axis=1)
     a = a + st * jnp.float32(params.c_surf)
 
     gx, gy, gz = params.gravity
     a = V3(a.x + jnp.float32(gx), a.y + jnp.float32(gy),
            a.z + jnp.float32(gz))
 
-    not_b = ptype != BOUNDARY_PARTICLE
-    return masked(not_b, a)
+    return masked(ptype_l != BOUNDARY_PARTICLE, a)
 
 
 class PcisphResult(NamedTuple):
-    pressure: jax.Array  # [N]
-    a_p: V3              # pressure-force acceleration, V3 of [N]
+    pressure: jax.Array  # [n_local]
+    a_p: V3              # pressure-force acceleration, V3 of [n_local]
 
 
 def pcisph_pressure_loop(
-    pos: V3,
-    vel: V3,
-    ptype: jax.Array,
+    pos_l: V3,
+    vel_l: V3,
+    ptype_l: jax.Array,
     nbrs: NeighborList,
     params: SimParams,
+    pos_g: V3 | None = None,
+    gather: GatherFn | None = None,
 ) -> PcisphResult:
     """The fixed-3-iteration prediction-correction loop
-    (`owPhysicsFluidSimulator.cpp:99-106`), fully on device via fori_loop."""
-    n = pos.x.shape[0]
+    (`owPhysicsFluidSimulator.cpp:99-106`), fully on device via fori_loop.
+
+    ``gather`` re-globalizes per-iteration local arrays (predicted positions,
+    predicted densities, pressures) for neighbor reads.
+    """
+    pos_g = pos_l if pos_g is None else pos_g
+    gather = _identity_gather if gather is None else gather
+
+    n_loc = pos_l.x.shape[0]
     j = jnp.maximum(nbrs.idx, 0)
     mask = nbrs.valid
     mask_h = mask & (nbrs.q < 1.0)
-    is_b = ptype == BOUNDARY_PARTICLE
-    not_b = ~is_b
+    not_b = ptype_l != BOUNDARY_PARTICLE
 
     dt = jnp.float32(params.time_step)
     pos_dt = jnp.float32(params.time_step * params.simulation_scale_inv)
@@ -121,7 +151,7 @@ def pcisph_pressure_loop(
     # geometry (the reference uses cached neighbor distances, sphFluid.cl:1156),
     # so hoist them out of the loop.
     inv_r = 1.0 / (jnp.maximum(nbrs.q, 1e-30) * jnp.float32(params.h))
-    unit_ij = (pos.expand(1) - pos.take(j)) * inv_r
+    unit_ij = (pos_l.expand(1) - pos_g.take(j)) * inv_r
     nonzero_r = nbrs.q > 0.0
 
     # Close-range anti-clump substitution (sphFluid.cl:1166-1170):
@@ -134,28 +164,33 @@ def pcisph_pressure_loop(
         p, apx, apy, apz = carry
         a_p = V3(apx, apy, apz)
         # -- predict positions (boundary stays put) --
-        x_star = pos + (vel + a_p * dt) * pos_dt
-        x_star = x_star.where(not_b, pos)
+        x_star = pos_l + (vel_l + a_p * dt) * pos_dt
+        x_star = x_star.where(not_b, pos_l)
+        x_star_g = V3(gather(x_star.x), gather(x_star.y), gather(x_star.z))
 
         # -- predicted density from predicted positions --
-        ds = x_star.expand(1) - x_star.take(j)
+        ds = x_star.expand(1) - x_star_g.take(j)
         q2s = ds.norm2() * inv_h2
         contrib = jnp.where(mask & (q2s < 1.0), poly6_term(q2s), 0.0)
         rho_star = c_rho * jnp.maximum(jnp.sum(contrib, axis=1), 1.0)
+        rho_star_g = gather(rho_star)
 
         # -- pressure correction: all particles, non-negative increment --
         p = p + jnp.maximum(0.0, (rho_star - rho0) * delta)
+        p_g = gather(p)
 
         # -- pressure-force acceleration --
-        term = jnp.where(close, term_close, term_far_geom * (p[:, None] + p[j]))
-        term = term / rho_star[j]
+        term = jnp.where(
+            close, term_close, term_far_geom * (p[:, None] + p_g[j])
+        )
+        term = term / rho_star_g[j]
         w = jnp.where(mask_h & nonzero_r, term, 0.0)
         f = (unit_ij * w).sum(axis=1)
         a_p = f * (c_press / rho_star)
         a_p = masked(not_b, a_p)
         return p, a_p.x, a_p.y, a_p.z
 
-    zero = jnp.zeros((n,), dtype=pos.x.dtype)
+    zero = jnp.zeros((n_loc,), dtype=pos_l.x.dtype)
     p, apx, apy, apz = jax.lax.fori_loop(
         0, params.n_pcisph_iters, body, (zero, zero, zero, zero)
     )
@@ -165,9 +200,9 @@ def pcisph_pressure_loop(
 def boundary_response(
     x_new: V3,
     v_new: V3,
-    pos0: V3,
-    ptype: jax.Array,
-    normal: V3,
+    ptype_g: jax.Array,
+    normal_g: V3,
+    pos0_g: V3,
     nbrs: NeighborList,
     params: SimParams,
 ) -> tuple[V3, V3]:
@@ -176,11 +211,11 @@ def boundary_response(
     boundary positions; r0 = h/2."""
     j = jnp.maximum(nbrs.idx, 0)
     r0 = jnp.float32(params.r0)
-    is_b_j = (ptype[j] == BOUNDARY_PARTICLE) & nbrs.valid
+    is_b_j = (ptype_g[j] == BOUNDARY_PARTICLE) & nbrs.valid
 
-    dist = (x_new.expand(1) - pos0.take(j)).norm()
+    dist = (x_new.expand(1) - pos0_g.take(j)).norm()
     w = jnp.where(is_b_j, jnp.maximum(0.0, (r0 - dist) / r0), 0.0)
-    n_ci = (normal.take(j) * w).sum(axis=1)
+    n_ci = (normal_g.take(j) * w).sum(axis=1)
     w_sum = jnp.sum(w, axis=1)
     w2_sum = jnp.sum(w * (r0 - dist) * is_b_j, axis=1)
 
@@ -200,21 +235,26 @@ def boundary_response(
 
 
 def integrate(
-    pos: V3,
-    vel: V3,
-    ptype: jax.Array,
-    normal: V3,
+    pos_l: V3,
+    vel_l: V3,
+    ptype_l: jax.Array,
     a_ext: V3,
     a_p: V3,
     nbrs: NeighborList,
     params: SimParams,
+    ptype_g: jax.Array | None = None,
+    normal_g: V3 | None = None,
+    pos0_g: V3 | None = None,
 ) -> tuple[V3, V3]:
     """Semi-implicit Euler + box clamp + boundary response
     (sphFluid.cl:1684-1808). Returns (pos, vel) with boundary rows untouched."""
+    ptype_g = ptype_l if ptype_g is None else ptype_g
+    pos0_g = pos_l if pos0_g is None else pos0_g
+
     dt = jnp.float32(params.time_step)
     pos_dt = jnp.float32(params.time_step * params.simulation_scale_inv)
-    v_new = vel + (a_ext + a_p) * dt
-    x_new = pos + v_new * pos_dt
+    v_new = vel_l + (a_ext + a_p) * dt
+    x_new = pos_l + v_new * pos_dt
 
     lo = params.box_min
     hi = params.box_max
@@ -225,10 +265,10 @@ def integrate(
         jnp.clip(x_new.z, jnp.float32(lo[2]), jnp.float32(hi[2] - eps)),
     )
 
-    v_avg = (vel + v_new) * jnp.float32(0.5)
+    v_avg = (vel_l + v_new) * jnp.float32(0.5)
     x_new, v_avg = boundary_response(
-        x_new, v_avg, pos, ptype, normal, nbrs, params
+        x_new, v_avg, ptype_g, normal_g, pos0_g, nbrs, params
     )
 
-    not_b = ptype != BOUNDARY_PARTICLE
-    return x_new.where(not_b, pos), v_avg.where(not_b, vel)
+    not_b = ptype_l != BOUNDARY_PARTICLE
+    return x_new.where(not_b, pos_l), v_avg.where(not_b, vel_l)

@@ -82,14 +82,16 @@ def step_fn(
     normal = vec3.split(state.normal)
     ptype = state.ptype
 
+    ids = jnp.arange(layout.n_particles, dtype=jnp.int32)
+
     # -- neighbor phase --
     grid = build_grid(pos, params)
-    nbrs = find_neighbors(pos, grid, params)
+    nbrs = find_neighbors(pos, ids, pos, grid, params)
 
     # -- forces at time t --
     rho = compute_density(nbrs, params)
     a_ext = compute_external_forces(
-        pos, vel, rho, ptype, normal, nbrs, params
+        pos, vel, rho, ptype, nbrs, params, normal_g=normal
     )
     a_ext = add_elastic_forces(
         a_ext, pos, springs, state.muscle_activation, params
@@ -100,10 +102,11 @@ def step_fn(
 
     # -- integrate + membrane interaction --
     pos1, vel1 = integrate(
-        pos, vel, ptype, normal, a_ext, res.a_p, nbrs, params
+        pos, vel, ptype, a_ext, res.a_p, nbrs, params, normal_g=normal
     )
     pos2 = membrane_position_correction(
-        pos1, ptype, nbrs, membranes, params, layout.liquid_range
+        pos1, ptype, nbrs, membranes, params,
+        liquid_range=layout.liquid_range,
     )
 
     # -- muscle signal for the next step --
@@ -158,8 +161,9 @@ def diagnostics(state: FluidState, params: SimParams) -> dict:
     (counterparts of getDensity_cpp / getParticleIndex_cpp etc.,
     `owPhysicsFluidSimulator.h:14-21`)."""
     pos = vec3.split(state.pos)
+    ids = jnp.arange(state.pos.shape[0], dtype=jnp.int32)
     grid = build_grid(pos, params)
-    nbrs = find_neighbors(pos, grid, params)
+    nbrs = find_neighbors(pos, ids, pos, grid, params)
     rho = compute_density(nbrs, params)
     res = pcisph_pressure_loop(
         pos, vec3.split(state.vel), state.ptype, nbrs, params

@@ -420,7 +420,9 @@ def _spring_graph(pos, colors, n_elastic, n_liquid, params: SimParams):
     scale = f32(params.simulation_scale)
     cutoff = r0 * math.sqrt(2.7)
 
-    # candidates: elastic block + boundary block (liquid skipped, :986)
+    # candidates: elastic block + boundary block (liquid skipped, :986);
+    # block order == ascending absolute id, so sorted KDTree hits reproduce
+    # the reference's scan order exactly.
     cand = np.concatenate([
         np.arange(n_elastic), np.arange(n_elastic + n_liquid, n)
     ]).astype(np.int64)
@@ -430,12 +432,29 @@ def _spring_graph(pos, colors, n_elastic, n_liquid, params: SimParams):
     rest = np.zeros((n_elastic, MAX_NEIGHBORS), np.float32)
     stype = np.zeros((n_elastic, MAX_NEIGHBORS), np.float32)
 
+    try:
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(cpos.astype(np.float64))
+        hits = tree.query_ball_point(
+            pos[:n_elastic].astype(np.float64), cutoff * 1.0001
+        )
+    except ImportError:  # pragma: no cover - scipy is in the base image
+        hits = None
+
     all_i, all_slot, all_j = [], [], []
     for i in range(n_elastic):
-        d = cpos - pos[i]
+        if hits is not None:
+            rows = np.sort(np.asarray(hits[i], dtype=np.int64))
+            js_all = cand[rows]
+            d = cpos[rows] - pos[i]
+        else:
+            js_all = cand
+            d = cpos - pos[i]
+        # refine with the reference's f32 comparison (owHelper.cpp:993-996)
         r = np.sqrt(f32((d * d).sum(axis=1)))
-        sel = (r <= cutoff) & (cand != i)
-        js = cand[sel]
+        sel = (r <= cutoff) & (js_all != i)
+        js = js_all[sel]
         rs = r[sel]
         k = min(len(js), MAX_NEIGHBORS)
         idx[i, :k] = js[:k]

@@ -69,7 +69,9 @@ def test_neighbors_match_bruteforce():
     params = small_params()
     pos = random_cloud(400, params, seed=1)
     grid = build_grid(vec3.split(jnp.asarray(pos)), params)
-    nbrs = find_neighbors(vec3.split(jnp.asarray(pos)), grid, params)
+    v = vec3.split(jnp.asarray(pos))
+    ids = jnp.arange(len(pos), dtype=jnp.int32)
+    nbrs = find_neighbors(v, ids, v, grid, params)
 
     idx = np.asarray(nbrs.idx)
     q = np.asarray(nbrs.q)
@@ -98,7 +100,9 @@ def test_neighbors_dense_cluster_truncates_to_32():
     )
     pos = np.clip(pos, 0.01, np.array(params.box_max) - 0.01)
     grid = build_grid(vec3.split(jnp.asarray(pos)), params)
-    nbrs = find_neighbors(vec3.split(jnp.asarray(pos)), grid, params)
+    v = vec3.split(jnp.asarray(pos))
+    ids = jnp.arange(len(pos), dtype=jnp.int32)
+    nbrs = find_neighbors(v, ids, v, grid, params)
     valid = np.asarray(nbrs.valid)
     idx = np.asarray(nbrs.idx)
     q = np.asarray(nbrs.q)
@@ -116,7 +120,9 @@ def test_neighbor_q_is_scale_free():
     params = small_params()
     pos = random_cloud(100, params, seed=2)
     grid = build_grid(vec3.split(jnp.asarray(pos)), params)
-    nbrs = find_neighbors(vec3.split(jnp.asarray(pos)), grid, params)
+    v = vec3.split(jnp.asarray(pos))
+    ids = jnp.arange(len(pos), dtype=jnp.int32)
+    nbrs = find_neighbors(v, ids, v, grid, params)
     q = np.asarray(nbrs.q)
     valid = np.asarray(nbrs.valid)
     assert np.all(q[valid] >= 0) and np.all(q[valid] <= 1.0 + 1e-6)
@@ -127,6 +133,8 @@ def test_empty_and_single_particle():
     params = small_params()
     pos = vec3.split(jnp.asarray(np.array([[5.0, 5.0, 5.0]], np.float32)))
     grid = build_grid(pos, params)
-    nbrs = find_neighbors(pos, grid, params)
+    nbrs = find_neighbors(
+        pos, jnp.arange(1, dtype=jnp.int32), pos, grid, params
+    )
     assert not bool(np.asarray(nbrs.valid).any())
     assert int(np.asarray(nbrs.idx)[0, 0]) == -1

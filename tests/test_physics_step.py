@@ -58,7 +58,8 @@ def boundary_floor(params, y=1.0):
 def jax_neighbors(pos, params):
     v = vec3.split(jnp.asarray(pos))
     grid = build_grid(v, params)
-    return find_neighbors(v, grid, params)
+    ids = jnp.arange(len(pos), dtype=jnp.int32)
+    return find_neighbors(v, ids, v, grid, params)
 
 
 def test_density_matches_oracle():
@@ -86,7 +87,8 @@ def test_external_forces_match_oracle():
     a = np.asarray(vec3.merge(
         compute_external_forces(
             vec3.split(jnp.asarray(pos)), vec3.split(jnp.asarray(vel)), rho,
-            jnp.asarray(ptype), vec3.split(jnp.asarray(normal)), nbrs, params,
+            jnp.asarray(ptype), nbrs, params,
+            normal_g=vec3.split(jnp.asarray(normal)),
         )
     ))
     onbrs = oracle.exact_neighbors(pos.astype(np.float64), params.h)
