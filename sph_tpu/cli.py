@@ -60,6 +60,7 @@ def cmd_run(args) -> int:
         scene, params,
         dump_dir=args.dump, dump_interval=args.dump_every,
         log=print if args.verbose else None,
+        engine=args.engine,
     )
     if args.restore:
         sim.restore(args.restore)
@@ -143,6 +144,9 @@ def main(argv=None) -> int:
     p.add_argument("--render-dir", default="frames")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--restore", default=None)
+    p.add_argument("--engine", default="exact", choices=["exact", "fast"],
+                   help="exact = reference 32-cap neighbor lists; "
+                        "fast = blocked Pallas pair engine")
     p.add_argument("-v", "--verbose", action="store_true")
     p.set_defaults(fn=cmd_run)
 

@@ -101,10 +101,15 @@ def compute_fast_config(
         cmax = max(cmax, int((end - aligned).max()))
     ccap = max(ALIGN, -(-int(cmax * margin) // ALIGN) * ALIGN)
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        # the axon PJRT plugin reports platform "axon" for a real TPU chip
+        dev = jax.devices()[0]
+        interpret = not (
+            jax.default_backend() in ("tpu", "axon")
+            or "TPU" in getattr(dev, "device_kind", "")
+        )
     return FastConfig(
         n_particles=n, n_blocks=nb, ccap=ccap,
-        ccol=min(128, ccap), dims=(nx, ny, nz), interpret=interpret,
+        ccol=min(512, ccap), dims=(nx, ny, nz), interpret=interpret,
     )
 
 
@@ -159,15 +164,16 @@ def _pad_field(a, cfg: FastConfig, fill=0.0):
 
 
 def _pack(fields, n_rows, cfg: FastConfig):
-    """Stack fields into a row-major [128, n_alloc] pack (row count padded to
-    the 128 tile; DMA slices are full-rows x aligned column windows)."""
-    del n_rows
+    """Stack fields into a row-major [n_rows, n_alloc] pack (DMA slices are
+    full-rows x aligned column windows; n_rows stays a multiple of 8)."""
     mat = jnp.stack(fields, axis=0)
-    return jnp.concatenate(
-        [mat,
-         jnp.zeros((pk.PACK_WIDTH - len(fields), cfg.n_alloc), jnp.float32)],
-        axis=0,
-    )
+    if len(fields) < n_rows:
+        mat = jnp.concatenate(
+            [mat,
+             jnp.zeros((n_rows - len(fields), cfg.n_alloc), jnp.float32)],
+            axis=0,
+        )
+    return mat
 
 
 def make_fast_step(params: SimParams, layout: SceneLayout, cfg: FastConfig):
@@ -387,7 +393,7 @@ def make_fast_step(params: SimParams, layout: SceneLayout, cfg: FastConfig):
                 ]
             tri_mat = jnp.stack(fields, axis=0)          # [42, Ne]
             erows = inv[jnp.arange(e0, e1)]
-            mem_pack = jnp.zeros((pk.PACK_WIDTH, cfg.n_alloc), jnp.float32)
+            mem_pack = jnp.zeros((pk.MEM_COLS, cfg.n_alloc), jnp.float32)
             mem_pack = mem_pack.at[:42, erows].set(tri_mat)
             mem_pack = mem_pack.at[pk.PMM_XN].set(_pad_field(xn, cfg, far))
             mem_pack = mem_pack.at[pk.PMM_YN].set(_pad_field(yn, cfg, far))

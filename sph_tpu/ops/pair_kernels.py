@@ -45,7 +45,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 B = 1024
 ALIGN = 1024
-PACK_WIDTH = 128  # minor dim of every pack: HBM/VMEM tiles are 128 lanes
 
 # main pack columns (time-t fields)
 MAIN_COLS = 8
@@ -155,7 +154,7 @@ def _make_pass(kernel_body, *, own_cols, slab_cols, n_outputs, ccap, ccol,
 
     # Packs must stay in HBM: the compiler would otherwise place small
     # inputs in VMEM, where dynamically-offset DMA slices can't be lowered.
-    mspace = pltpu.ANY if interpret else pltpu.HBM
+    mspace = pl.ANY if interpret else pltpu.HBM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_prefetch,
         grid=(n_blocks,),
@@ -169,8 +168,8 @@ def _make_pass(kernel_body, *, own_cols, slab_cols, n_outputs, ccap, ccol,
             for _ in range(n_outputs)
         ),
         scratch_shapes=(
-            [pltpu.VMEM((PACK_WIDTH, B), jnp.float32),
-             pltpu.VMEM((PACK_WIDTH, ccap), jnp.float32)]
+            [pltpu.VMEM((own_cols, B), jnp.float32),
+             pltpu.VMEM((slab_cols, ccap), jnp.float32)]
             + [pltpu.SemaphoreType.DMA,
                pltpu.SemaphoreType.DMA]
         ),

@@ -34,11 +34,23 @@ class Simulator:
         dump_dir: str | None = None,
         dump_interval: int = 10,
         log=None,
+        engine: str = "exact",
     ):
+        """engine: "exact" = neighbor-list engine (reference 32-cap
+        semantics); "fast" = blocked Pallas pair engine (all pairs within h,
+        see core/fast.py)."""
         self.params = params or SimParams()
         self.scene = scene
         self.layout = scene.layout()
         self.state, self.springs, self.membranes = scene.device_state()
+        self.engine = engine
+        self._fast_runs = {}
+        if engine == "fast":
+            from ..core.fast import compute_fast_config
+
+            self._fast_cfg = compute_fast_config(scene.pos, self.params)
+        elif engine != "exact":
+            raise ValueError(f"unknown engine {engine!r}")
         self.timer = StepTimer(log=log)
         self._dumper = (
             TrajectoryDumper(dump_dir, scene) if dump_dir else None
@@ -55,13 +67,23 @@ class Simulator:
     def step_count(self) -> int:
         return int(self.state.step)
 
+    def _run(self, n: int):
+        if self.engine == "fast":
+            if n not in self._fast_runs:
+                from ..core.fast import make_fast_multi_step
+
+                self._fast_runs[n] = make_fast_multi_step(
+                    self.params, self.layout, self._fast_cfg, n
+                )
+            return self._fast_runs[n](self.state, self.springs,
+                                      self.membranes)
+        return multi_step(self.state, self.springs, self.membranes,
+                          self.params, self.layout, n)
+
     def step(self, n: int = 1) -> None:
         """Advance n steps; dumps trajectory frames at the dump interval."""
         if self._dumper is None:
-            self.state = multi_step(
-                self.state, self.springs, self.membranes,
-                self.params, self.layout, n,
-            )
+            self.state = self._run(n)
             return
         done = 0
         while done < n:
@@ -69,10 +91,7 @@ class Simulator:
                 n - done,
                 self.dump_interval - self.step_count % self.dump_interval,
             )
-            self.state = multi_step(
-                self.state, self.springs, self.membranes,
-                self.params, self.layout, upto,
-            )
+            self.state = self._run(upto)
             done += upto
             if self.step_count % self.dump_interval == 0:
                 self._dumper.append(np.asarray(self.state.pos))
