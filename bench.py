@@ -14,6 +14,8 @@ import sys
 import time
 import traceback
 
+import numpy as np
+
 TARGET = 50e6  # particle-steps/sec/chip north star (BASELINE.md)
 
 
@@ -35,16 +37,21 @@ def run_engine(engine, scene, params, chunk, budget_s):
         def advance(s):
             return multi_step(s, springs, membranes, params, layout, chunk)
 
+    def sync(s):
+        # the experimental axon PJRT plugin's block_until_ready does not
+        # actually block; a host materialization does
+        return float(np.asarray(s.pos[0]).sum())
+
     t0 = time.time()
     state = advance(state)
-    jax.block_until_ready(state.pos)
+    sync(state)
     compile_s = time.time() - t0
 
     steps = 0
     t0 = time.time()
     while steps < 10 * chunk and time.time() - t0 < budget_s:
         state = advance(state)
-        jax.block_until_ready(state.pos)
+        sync(state)
         steps += chunk
     wall = time.time() - t0
     return steps, wall, compile_s

@@ -22,6 +22,7 @@ import numpy as np
 
 from ..config import SimParams
 from ..constants import MAX_NEIGHBORS
+from . import native
 from .scene import Scene
 
 f32 = np.float32
@@ -192,6 +193,10 @@ def _worm_shell(params: SimParams):
 
 def _inner_worm_liquid(params: SimParams):
     r0 = f32(params.r0)
+    if native.available():
+        return native.inner_worm_liquid(
+            r0, params.x_max, params.y_max, params.z_max
+        )
     xc = f32(params.x_max * 0.5)
     yc = f32(params.y_max * 0.3)
     zc = f32(params.z_max * 0.5)
@@ -227,14 +232,18 @@ def _inner_worm_liquid(params: SimParams):
     return np.asarray(pts, np.float32).reshape(-1, 3)
 
 
-def _pool_liquid(params: SimParams):
-    """Rectangular swimming pool below y = YMAX*0.15 (owHelper.cpp:673-691)."""
+def _pool_liquid(params: SimParams, fill: float = 0.15):
+    """Rectangular swimming pool below y = YMAX*fill (owHelper.cpp:673-691)."""
     r0 = f32(params.r0)
+    if native.available():
+        return native.pool_liquid(
+            r0, params.x_max, params.y_max, params.z_max, fill
+        )
     pts = []
     x = f32(3.0 * float(r0))
     while x < params.x_max - 3.0 * float(r0):
         y = f32(3.0 * float(r0))
-        while y < params.y_max * 0.15:
+        while y < params.y_max * fill:
             z = f32(3.0 * float(r0))
             while z < params.z_max - 3.0 * float(r0):
                 pts.append((x, y, z))
@@ -253,6 +262,10 @@ def _boundary_box(params: SimParams):
     corners. The reference's non-unit normals on the x-extreme columns of the
     y-walls (magnitude 1/sqrt(2), owHelper.cpp:864-876) are kept verbatim."""
     r0 = float(f32(params.r0))
+    if native.available():
+        return native.boundary_box(
+            f32(params.r0), params.x_max, params.y_max, params.z_max
+        )
     nx = int(float(params.x_max - params.x_min) / r0)
     ny = int(float(params.y_max - params.y_min) / r0)
     nz = int(float(params.z_max - params.z_min) / r0)
@@ -432,6 +445,20 @@ def _spring_graph(pos, colors, n_elastic, n_liquid, params: SimParams):
     rest = np.zeros((n_elastic, MAX_NEIGHBORS), np.float32)
     stype = np.zeros((n_elastic, MAX_NEIGHBORS), np.float32)
 
+    if native.available():
+        idx, rest = native.spring_graph(
+            pos, n_elastic, n_liquid, float(f32(params.r0)),
+            float(scale), MAX_NEIGHBORS,
+        )
+        r_idx, s_idx = np.nonzero(idx >= 0)
+        if len(r_idx):
+            codes = _assign_muscles(
+                pos[r_idx], pos[idx[r_idx, s_idx]],
+                colors[r_idx], colors[idx[r_idx, s_idx]], params,
+            )
+            stype[r_idx, s_idx] = codes
+        return idx, rest, stype
+
     try:
         from scipy.spatial import cKDTree
 
@@ -527,19 +554,7 @@ def generate_liquid_box_scene(
     if params is None:
         params = SimParams()
 
-    r0 = f32(params.r0)
-    pts = []
-    x = f32(3.0 * float(r0))
-    while x < params.x_max - 3.0 * float(r0):
-        y = f32(3.0 * float(r0))
-        while y < params.y_max * fill_fraction:
-            z = f32(3.0 * float(r0))
-            while z < params.z_max - 3.0 * float(r0):
-                pts.append((x, y, z))
-                z = f32(z + r0)
-            y = f32(y + r0)
-        x = f32(x + r0)
-    lpos = np.asarray(pts, np.float32).reshape(-1, 3)
+    lpos = _pool_liquid(params, fill=fill_fraction)
 
     bpos, bnorm = _boundary_box(params)
     n_l, n_b = len(lpos), len(bpos)
