@@ -21,14 +21,13 @@ exact engine remains available for parity validation.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..config import SimParams
-from ..constants import BOUNDARY_PARTICLE, ELASTIC_PARTICLE, LIQUID_PARTICLE
+from ..constants import BOUNDARY_PARTICLE, LIQUID_PARTICLE
 from ..models import muscle
 from ..ops import pair_kernels as pk
 from ..ops import vec3
@@ -232,7 +231,7 @@ def make_fast_step(params: SimParams, layout: SceneLayout, cfg: FastConfig):
         )
         pencil_s = pencil[order]
         tables, pstart, pranges, overflow = _chunk_tables(pencil_s, cfg)
-        del overflow  # exposed via diagnostics later
+        del overflow  # recomputable via chunk_overflow() diagnostics
 
         def srt(a, fill=0.0):
             return _pad_field(a[order], cfg, fill)
@@ -475,3 +474,20 @@ def make_fast_multi_step(params, layout, cfg, n_steps: int = 1):
         return out
 
     return run
+
+
+def chunk_overflow(pos: np.ndarray, params: SimParams, cfg: FastConfig) -> int:
+    """Diagnostic: candidates beyond the slab window capacity at the given
+    positions (0 = every pair within h was considered). The step clamps the
+    window silently, reference-style truncation; this surfaces it."""
+    import jax.numpy as jnp
+    nx, ny, nz = cfg.dims
+    cell = 1.0 / params.h
+    c = np.clip((np.asarray(pos) * cell).astype(np.int32),
+                0, [nx - 1, ny - 1, nz - 1])
+    pencil = c[:, 1] + ny * c[:, 2]
+    cid = c[:, 0] + nx * pencil
+    order = np.argsort(cid, kind="stable")
+    pencil_s = jnp.asarray(pencil[order].astype(np.int32))
+    _, _, _, overflow = _chunk_tables(pencil_s, cfg)
+    return int(overflow)

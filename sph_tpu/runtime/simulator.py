@@ -120,10 +120,17 @@ class Simulator:
         return np.asarray(diagnostics(self.state, self.params)["pressure"])
 
     def get_diagnostics(self) -> dict:
-        return {
+        out = {
             k: np.asarray(v)
             for k, v in diagnostics(self.state, self.params).items()
         }
+        if self.engine == "fast":
+            from ..core.fast import chunk_overflow
+
+            out["slab_overflow"] = chunk_overflow(
+                np.asarray(self.state.pos), self.params, self._fast_cfg
+            )
+        return out
 
     def get_elastic_connections(self):
         return (
