@@ -101,10 +101,20 @@ def _make_pass(kernel_body, *, own_cols, slab_cols, n_outputs, ccap, ccol,
         own_off = pl.multiple_of(b * B, ALIGN)
 
         def compute():
+            # double-buffered slab chunks: chunk ci+1's DMA overlaps chunk
+            # ci's pair math
+            def slab_copy(ci, slot):
+                off = pl.multiple_of(aoff[b, ci], ALIGN)
+                return pltpu.make_async_copy(
+                    slab_h.at[:, pl.ds(off, ccap)],
+                    slab_scr.at[slot], ssem.at[slot],
+                )
+
             cp_own = pltpu.make_async_copy(
                 own_h.at[:, pl.ds(own_off, B)], own_scr, osem
             )
             cp_own.start()
+            slab_copy(0, 0).start()
             cp_own.wait()
             own_gid = own_off + jax.lax.broadcasted_iota(
                 jnp.int32, (B, 1), 0
@@ -114,14 +124,14 @@ def _make_pass(kernel_body, *, own_cols, slab_cols, n_outputs, ccap, ccol,
                 jnp.zeros((B, 1), jnp.float32) for _ in range(n_outputs)
             )
             for ci in range(3):
+                slot = ci % 2
+                if ci + 1 < 3:
+                    slab_copy(ci + 1, (ci + 1) % 2).start()
+                slab_copy(ci, slot).wait()
                 off = pl.multiple_of(aoff[b, ci], ALIGN)
                 lo = lo_t[b, ci]
                 hi = hi_t[b, ci]
-                cp = pltpu.make_async_copy(
-                    slab_h.at[:, pl.ds(off, ccap)], slab_scr, ssem
-                )
-                cp.start()
-                cp.wait()
+                view = slab_scr.at[slot]
                 for col0 in range(0, ccap, ccol):
                     colg = (off + col0) + jax.lax.broadcasted_iota(
                         jnp.int32, (1, ccol), 1
@@ -129,7 +139,7 @@ def _make_pass(kernel_body, *, own_cols, slab_cols, n_outputs, ccap, ccol,
                     base = (colg >= lo) & (colg < hi)
                     ctx = dict(colg=colg, base=base, own_gid=own_gid,
                                col0=col0)
-                    accs = kernel_body(own_scr, slab_scr, ctx, accs)
+                    accs = kernel_body(own_scr, view, ctx, accs)
             return accs
 
         if has_flags:
@@ -169,9 +179,9 @@ def _make_pass(kernel_body, *, own_cols, slab_cols, n_outputs, ccap, ccol,
         ),
         scratch_shapes=(
             [pltpu.VMEM((own_cols, B), jnp.float32),
-             pltpu.VMEM((slab_cols, ccap), jnp.float32)]
+             pltpu.VMEM((2, slab_cols, ccap), jnp.float32)]
             + [pltpu.SemaphoreType.DMA,
-               pltpu.SemaphoreType.DMA]
+               pltpu.SemaphoreType.DMA((2,))]
         ),
     )
     n_pad = n_blocks * B
