@@ -58,7 +58,12 @@ class SimParams:
     # --- solver knobs ---
     n_pcisph_iters: int = 3          # owPhysicsConstant.h:76 (maxIteration)
     max_neighbors: int = 32          # owOpenCLConstant.h:4
-    cell_capacity: int = 80          # max particles tracked per hash-grid cell
+    # Max particles tracked per 2h hash-grid cell. The generated worm scene's
+    # densest cell holds ~106, so anything below 128 silently drops neighbor
+    # candidates there (the reference's own failure mode, sphFluid.cl:169).
+    # Simulator derives a scene-measured value at construction; this default
+    # covers the shipped scenes.
+    cell_capacity: int = 128
 
     # --- elastic matter / muscles (sphFluid.cl:741, :782) ---
     k_spring: float = 6.0e8          # Hooke coefficient of elastic connections

@@ -75,7 +75,8 @@ def compute_fast_config(
     ny = int((params.y_max - params.y_min) / cell) + 1
     nz = int((params.z_max - params.z_min) / cell) + 1
     n = len(pos)
-    c = np.clip((pos / cell).astype(np.int64), 0, [nx - 1, ny - 1, nz - 1])
+    c = np.clip(((pos - np.asarray(params.box_min)) / cell).astype(np.int64),
+                0, [nx - 1, ny - 1, nz - 1])
     pencil = c[:, 1] + ny * c[:, 2]
     cid = c[:, 0] + nx * pencil
     order = np.argsort(cid, kind="stable")
@@ -218,11 +219,13 @@ def make_fast_step(params: SimParams, layout: SceneLayout, cfg: FastConfig):
         is_b = state.ptype == BOUNDARY_PARTICLE
         is_liq = state.ptype == LIQUID_PARTICLE
 
-        # ---- sort by h-cell id ----
+        # ---- sort by h-cell id (binning matches grid.cell_coords_of:
+        # subtract box_min before scaling) ----
         cell = jnp.float32(1.0 / params.h)
-        cx = jnp.clip((pos.x * cell).astype(jnp.int32), 0, nx - 1)
-        cy = jnp.clip((pos.y * cell).astype(jnp.int32), 0, ny - 1)
-        cz = jnp.clip((pos.z * cell).astype(jnp.int32), 0, nz - 1)
+        bx, by, bz = (jnp.float32(b) for b in params.box_min)
+        cx = jnp.clip(((pos.x - bx) * cell).astype(jnp.int32), 0, nx - 1)
+        cy = jnp.clip(((pos.y - by) * cell).astype(jnp.int32), 0, ny - 1)
+        cz = jnp.clip(((pos.z - bz) * cell).astype(jnp.int32), 0, nz - 1)
         pencil = cy + ny * cz
         cid = cx + nx * pencil
         order = jnp.argsort(cid, stable=True).astype(jnp.int32)
@@ -483,8 +486,8 @@ def chunk_overflow(pos: np.ndarray, params: SimParams, cfg: FastConfig) -> int:
     import jax.numpy as jnp
     nx, ny, nz = cfg.dims
     cell = 1.0 / params.h
-    c = np.clip((np.asarray(pos) * cell).astype(np.int32),
-                0, [nx - 1, ny - 1, nz - 1])
+    c = np.clip(((np.asarray(pos) - np.asarray(params.box_min)) * cell)
+                .astype(np.int32), 0, [nx - 1, ny - 1, nz - 1])
     pencil = c[:, 1] + ny * c[:, 2]
     cid = c[:, 0] + nx * pencil
     order = np.argsort(cid, kind="stable")

@@ -79,6 +79,29 @@ def build_grid(pos: V3, params: SimParams) -> Grid:
     return Grid(ccx=c.x, ccy=c.y, ccz=c.z, order=order, cell_start=cell_start)
 
 
+def max_cell_occupancy(pos, params: SimParams) -> int:
+    """Max 2h-cell occupancy of the given positions (host-side NumPy)."""
+    import numpy as np
+
+    nx, ny, nz = params.grid_dims
+    p = np.asarray(pos, np.float64) - np.asarray(params.box_min)
+    c = np.clip((p / params.cell_size).astype(np.int64),
+                0, [nx - 1, ny - 1, nz - 1])
+    cid = c[:, 0] + nx * (c[:, 1] + ny * c[:, 2])
+    return int(np.bincount(cid).max()) if len(cid) else 0
+
+
+def measured_cell_capacity(
+    pos, params: SimParams, margin: float = 1.25
+) -> int:
+    """Scene-derived ``cell_capacity``: max 2h-cell occupancy of the given
+    positions times a safety margin, rounded up to a multiple of 16 and never
+    below the params default. Host-side; run once at scene build."""
+    occ = max_cell_occupancy(pos, params)
+    need = -(-int(occ * margin) // 16) * 16
+    return max(need, params.cell_capacity)
+
+
 def cell_occupancy_overflow(grid: Grid, params: SimParams) -> jax.Array:
     """Total particles beyond ``cell_capacity`` in their cell (diagnostic).
 

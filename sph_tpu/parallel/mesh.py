@@ -27,9 +27,13 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 def pad_scene_to_devices(scene: Scene, n_devices: int) -> Scene:
     """Pad the particle count to a multiple of the device count.
 
-    Padding particles are inert BOUNDARY particles (frozen, zero normal ->
-    they exert no boundary response) parked on a line along the top-far box
-    edge at r0-ish spacing so they don't stack in one cell.
+    Padding particles are frozen BOUNDARY particles parked on a line along
+    the top-far box edge at r0-ish spacing so they don't stack in one cell.
+    They carry the inward edge normal of that corner (like a real wall-edge
+    particle, owHelper.cpp:785-826) rather than a zero normal: a zero-normal
+    boundary row would still inflate the Ihmsen w/w2 sums while contributing
+    nothing to n_ci, biasing the position projection of any liquid that came
+    within r0.
     """
     n = scene.n_particles
     pad = (-n) % n_devices
@@ -43,13 +47,15 @@ def pad_scene_to_devices(scene: Scene, n_devices: int) -> Scene:
     ppos = np.stack(
         [np.full(pad, x_hi), np.full(pad, y_hi), zs], axis=1
     ).astype(np.float32)
+    s = np.float32(-1.0 / np.sqrt(2.0))
+    pnorm = np.tile(np.array([[s, s, 0.0]], np.float32), (pad, 1))
     return Scene(
         pos=np.concatenate([scene.pos, ppos]),
         vel=np.concatenate([scene.vel, np.zeros((pad, 3), np.float32)]),
         color=np.concatenate(
             [scene.color, np.full(pad, float(BOUNDARY_PARTICLE), np.float32)]
         ),
-        normal=np.concatenate([scene.normal, np.zeros((pad, 3), np.float32)]),
+        normal=np.concatenate([scene.normal, pnorm]),
         spring_rows=scene.spring_rows,
         spring_idx=scene.spring_idx,
         spring_rest=scene.spring_rest,

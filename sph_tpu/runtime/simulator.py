@@ -13,10 +13,15 @@ with no host synchronization inside a chunk.
 """
 from __future__ import annotations
 
+import dataclasses
+import logging
+
 import numpy as np
 import jax
 
 from ..config import SimParams
+
+logger = logging.getLogger("sph_tpu")
 from ..constants import MUSCLE_COUNT
 from ..core.state import FluidState
 from ..core.step import diagnostics, multi_step, simulation_step
@@ -49,7 +54,18 @@ class Simulator:
             from ..core.fast import compute_fast_config
 
             self._fast_cfg = compute_fast_config(scene.pos, self.params)
-        elif engine != "exact":
+        elif engine == "exact":
+            # Scene-derived cell capacity: the default silently truncates
+            # neighbor candidates on dense scenes (reference failure mode,
+            # sphFluid.cl:169) — measure the real occupancy instead.
+            from ..core.grid import measured_cell_capacity
+
+            cap = measured_cell_capacity(scene.pos, self.params)
+            if cap > self.params.cell_capacity:
+                self.params = dataclasses.replace(
+                    self.params, cell_capacity=cap
+                )
+        else:
             raise ValueError(f"unknown engine {engine!r}")
         self.timer = StepTimer(log=log)
         self._dumper = (
@@ -81,7 +97,12 @@ class Simulator:
                           self.params, self.layout, n)
 
     def step(self, n: int = 1) -> None:
-        """Advance n steps; dumps trajectory frames at the dump interval."""
+        """Advance n steps; dumps trajectory frames at the dump interval.
+
+        At every dump boundary (where positions are already materialized on
+        the host) capacity overflow is checked and logged — the reference
+        truncates silently (sphFluid.cl:169); we surface it.
+        """
         if self._dumper is None:
             self.state = self._run(n)
             return
@@ -94,13 +115,49 @@ class Simulator:
             self.state = self._run(upto)
             done += upto
             if self.step_count % self.dump_interval == 0:
-                self._dumper.append(np.asarray(self.state.pos))
+                pos = np.asarray(self.state.pos)
+                self._dumper.append(pos)
+                self.check_overflow(pos)
+
+    def check_overflow(self, pos: np.ndarray | None = None) -> dict:
+        """Host-side capacity diagnostics at the current positions; warns on
+        any nonzero count (silent truncation corrupts physics with no other
+        signal). Returns {"cell_overflow": int[, "slab_overflow": int]}."""
+        from ..core.grid import max_cell_occupancy
+
+        if pos is None:
+            pos = np.asarray(self.state.pos)
+        out = {}
+        out["cell_overflow"] = (
+            max(0, max_cell_occupancy(pos, self.params)
+                - self.params.cell_capacity)
+            if self.engine == "exact" else 0
+        )
+        if self.engine == "fast":
+            from ..core.fast import chunk_overflow
+
+            out["slab_overflow"] = chunk_overflow(
+                pos, self.params, self._fast_cfg
+            )
+        bad = {k: v for k, v in out.items() if v > 0}
+        if bad:
+            logger.warning(
+                "capacity overflow at step %d: %s — neighbor candidates are "
+                "being dropped; rebuild with larger capacities",
+                self.step_count, bad,
+            )
+        return out
 
     def step_blocking(self, n: int = 1) -> float:
-        """Step and wait; returns wall-clock milliseconds."""
+        """Step and wait; returns wall-clock milliseconds.
+
+        Synchronizes by materializing a scalar to the host:
+        ``jax.block_until_ready`` is a no-op under the experimental axon TPU
+        plugin, and would otherwise measure only dispatch-queue time.
+        """
         self.timer.refresh()
         self.step(n)
-        jax.block_until_ready(self.state.pos)
+        np.asarray(self.state.pos[0])
         return self.timer.elapsed_ms
 
     # ------------------------------------------------------------------

@@ -67,7 +67,8 @@ def _stitch(pts, prev_start, prev_count, cur_start, cur_count, r0):
         for w in range(cur_count):
             if d[w] <= best:
                 best, kk = d[w], cur_start + w
-        tris.append((ii, jj, kk))
+        if kk >= 0:  # no slice point within 10*r0: drop, never emit -1
+            tris.append((ii, jj, kk))
 
     for q in range(cur_count):
         ii, jj = _slice_pair(q, cur_start, cur_count)
@@ -78,7 +79,8 @@ def _stitch(pts, prev_start, prev_count, cur_start, cur_count, r0):
         for w in range(prev_count):
             if d[w] < best:
                 best, kk = d[w], prev_start + w
-        tris.append((ii, jj, kk))
+        if kk >= 0:
+            tris.append((ii, jj, kk))
     return tris
 
 

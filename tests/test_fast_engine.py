@@ -121,3 +121,17 @@ def test_fast_membranes():
     fast, ref = compare(scene, params, 2, atol=5e-5)
     # the membrane projection must actually fire (liquid pushed along +y)
     assert np.asarray(ref.pos)[4, 1] > pos[4, 1]
+
+
+def test_fast_matches_exact_with_box_min_offset():
+    """Nonzero box_min: fast-engine cell binning must subtract the box origin
+    exactly like grid.cell_coords_of, or slab windows shift and clip."""
+    off = np.array([-2 * H, 1.5 * H, -3 * H], np.float32)
+    params = SimParams(
+        x_min=float(off[0]), x_max=float(off[0]) + 8 * H,
+        y_min=float(off[1]), y_max=float(off[1]) + 8 * H,
+        z_min=float(off[2]), z_max=float(off[2]) + 8 * H,
+    )
+    scene = sparse_blob_scene(params)
+    scene.pos += off  # same blob, shifted into the offset box
+    compare(scene, params, 3, atol=5e-5)
