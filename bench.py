@@ -55,15 +55,9 @@ def run_engine(engine, scene, params, chunk, budget_s):
         steps += chunk
     wall = time.time() - t0
 
-    # post-run capacity check: silent truncation would corrupt the physics
-    # being benchmarked with no other signal
-    if engine == "fast":
-        from sph_tpu.core.fast import chunk_overflow
-
-        ovf = chunk_overflow(np.asarray(state.pos), params, cfg)
-        if ovf:
-            print(f"# WARNING: fast-engine slab overflow = {ovf} candidate "
-                  "rows dropped at final positions", file=sys.stderr)
+    # the fast engine streams exact interaction windows (no capacities, so
+    # no truncation to check); the exact engine's cell capacity is measured
+    # scene-side by the Simulator
     return steps, wall, compile_s
 
 

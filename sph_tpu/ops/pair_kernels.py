@@ -4,30 +4,36 @@ Replaces both the neighbor-list build and every per-neighbor gather of the
 reference pipeline (`/root/reference/src/sphFluid.cl`) with *blocked
 all-pairs* passes over cell-sorted particles:
 
-* particles are kept sorted by (x-major) cell id at h granularity;
-* an "own" block is B=1024 consecutive sorted particles (dense, no padding);
-* its interaction candidates are three **contiguous** slabs of the sorted
-  array — the pencil bands (cy-1..cy+1) x (cz-1..cz+1) covering every cell
-  within radius h of the block (x-major order makes each z-plane's band one
-  run); slabs arrive via aligned DMA, so the TPU never issues a random
-  gather;
-* each pass recomputes masked pairwise terms on the VPU and reduces them;
-  finding neighbors and using them fuse into the same pair mask.
-
-Rationale: XLA gathers on TPU run at ~7.5 ns/element regardless of locality
-(measured), which capped the gather-based pipeline at ~0.03M particle-steps/s;
-dense pair math runs at VPU rate (a prototype density pass measured 8 ms for
-233k particles vs 1173 ms for the gather-based neighbor search at 58k).
+* particles are kept sorted by cell id at h granularity in z-major /
+  x-pencil / y-run order (a pencil = one vertical column of cells; y is the
+  shortest occupied axis of the reference world box, so pencils are short
+  and interaction windows tight);
+* an "own" block is B consecutive sorted particles (dense, no padding);
+* its interaction candidates are three **contiguous** windows of the sorted
+  array — the pencil bands (z-1, z, z+1) x (x span +- 1) covering every cell
+  within radius h of the block — streamed through VMEM as ``ccol``-wide
+  tiles with double-buffered DMA and a *dynamic* trip count, so each block
+  pays for its actual window, not a global worst case;
+* windows are exact: there is no slab capacity and nothing is ever
+  truncated (the round-1 ``ccap`` clamp is gone by construction);
+* pair distances and weights run on the VPU in full f32 (direct
+  differences — no |a|^2-2ab+|b|^2 cancellation); every directional
+  reduction ``sum_j w_ij * f_j`` runs on the MXU as one
+  ``W @ F^T`` contraction, with coordinate reductions centered on the
+  tile's first entry to keep the dot well-conditioned.
 
 Layout notes (hard-won):
-* pair tiles are [B own sublanes x ccol slab lanes]; own fields are (B, 1)
-  columns, slab fields (1, ccol) rows;
-* per-particle fields travel in row-major packs ``[128, n_alloc]`` so a slab
-  chunk is ONE aligned 2-D DMA and each field is a free (1, ccol) row slice;
-  ccol stays small because several [B, ccol] temporaries live at once;
-* 1-D HBM buffers tile at 1024 elements: DMA offsets/sizes are 1024-aligned,
-  hence B = 1024 and the aligned chunk windows; outputs are written back by
-  DMA to 1-D [n_pad] buffers.
+* ALL field packs are column-major ``[cols, n_alloc]`` — a slab tile and an
+  own block are single aligned 2-D DMAs and each field a natural
+  ``(1, ccol)`` / ``(1, block)`` lane row; own fields that enter per-pair
+  broadcasts are flipped to ``(block, 1)`` once per block by a single
+  identity matmul on the MXU (Mosaic has no cheap sublane<->lane relayout);
+* pair tiles are [block own sublanes x ccol slab lanes]; accumulators are
+  ``(1, block)`` lane rows produced directly by the MXU reduction
+  ``dot_general(F (k, ccol), W (block, ccol))`` so outputs are written as
+  contiguous ``(1, block)`` rows of a ``[n_blocks, block]`` buffer —
+  ``(block, 1)`` writes into a lane-padded ``[n_pad, 1]`` buffer cost
+  ~2.3 ms per output per pass (measured), this layout makes them free.
 
 Semantic deviation from the reference (documented): the reference caps each
 particle at the ~32 nearest neighbors via a histogram threshold
@@ -43,19 +49,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-B = 1024
-ALIGN = 1024
+ALIGN = 128  # lane alignment of slab-tile DMA offsets
 
 # main pack columns (time-t fields)
 MAIN_COLS = 8
 (PM_X, PM_Y, PM_Z, PM_VEX, PM_VEY, PM_VEZ, PM_RHO, PM_ISB) = range(8)
 
-# iteration pack columns: time-t pos + predicted pos / (rho*, p)
-ITER_COLS = 8
+# iteration packs
+ITER_COLS = 6      # [x, y, z, x*, y*, z*]
+PACC_COLS = 5      # [x, y, z, rho*, p]
 
 # boundary pack columns
-BND_COLS = 8
+BND_COLS = 7
 (PB_X, PB_Y, PB_Z, PB_NX, PB_NY, PB_NZ, PB_ISB) = range(7)
+
+# own pack for the post-integrate passes: [x_t, y_t, z_t, xn, yn, zn]
+OWN_COLS = 6
 
 # membrane pack columns: 7 triangles x (n, a) + x(t+1) + x(t)
 MEM_COLS = 48
@@ -63,104 +72,152 @@ PMM_XN, PMM_YN, PMM_ZN = 42, 43, 44
 PMM_XT, PMM_YT, PMM_ZT = 45, 46, 47
 
 
-def _own_row(own_scr, a):
-    """Own field a as a (B, 1) sublane column."""
-    return own_scr[a, :].reshape(B, 1)
+def _dotT(a, b):
+    """a [m, k] . b [n, k] -> [m, n] (contract trailing dims on the MXU)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
 
-def _slab_col(slab_scr, a, col0, ccol):
-    """Slab field a, cols [col0, col0+ccol), as a (1, ccol) lane row."""
-    return slab_scr[a, pl.ds(col0, ccol)][None, :]
+def _srow(slab, a):
+    """Slab field a as a (1, ccol) lane row."""
+    return slab[a:a + 1, :]
 
 
-def _make_pass(kernel_body, *, own_cols, slab_cols, n_outputs, ccap, ccol,
-               n_blocks, has_flags=False, interpret=False):
-    """Build a jitted pair pass over [n_blocks] own blocks x 3 slab chunks.
+def _lsum(w, f=None):
+    """MXU reduction over the slab axis: sum_j f[k, j] * w[i, j] as a
+    (k, block) lane-row matrix; f = ones when omitted (plain w row-sums)."""
+    if f is None:
+        f = jnp.ones((1, w.shape[1]), jnp.float32)
+    return _dotT(f, w)
 
-    kernel_body(own_scr, slab_scr, ctx, accs) -> accs
-      own_scr:  VMEM [B, own_cols]; slab_scr: VMEM [ccap, slab_cols]
-      ctx: colg (ccol,1) global slab ids, base (ccol,1) validity,
-           own_gid (1,B), col0 int
-      accs: tuple of (1, B) accumulators.
+
+def _wsum3(w, slab, row0, own3=None):
+    """MXU reduction sum_j w_ij * (f_j - c) for the 3 slab rows starting at
+    row0, centered on the tile's first column for f32 conditioning; if
+    own3 = [(1, block)] x 3 lane rows is given, returns
+    sum_j w_ij * (own - f_j) instead. Returns a list of 3 (1, block) rows.
+
+    ONE dot per call: the plain row-sum of w rides along as a fourth
+    (all-ones) row of the field matrix instead of a second dot — per-tile
+    MXU issues are a measured cost driver at these tiny shapes.
     """
-    n_prefetch = 4 if has_flags else 3
+    out, _ = _wsum3_rw(w, slab, row0, own3)
+    return out
 
-    def kernel(*refs):
-        if has_flags:
-            aoff, lo_t, hi_t, flags = refs[:4]
+
+def _wsum3_rw(w, slab, row0, own3=None):
+    """_wsum3 that also returns the plain row-sum of w (still one dot)."""
+    f = slab[row0:row0 + 3, :]                  # (3, ccol)
+    c = slab[row0:row0 + 3, 0:1]                # (3, 1) tile-local center
+    ones = jnp.ones((1, w.shape[1]), jnp.float32)
+    fm = jnp.concatenate([f - c, ones], axis=0)  # (4, ccol)
+    s = _dotT(fm, w)                             # (4, block)
+    rw = s[3:4, :]
+    out = []
+    for k in range(3):
+        sk = s[k:k + 1, :]
+        ck = c[k:k + 1, 0:1]
+        if own3 is None:
+            out.append(sk + ck * rw)
         else:
-            aoff, lo_t, hi_t = refs[:3]
-            flags = None
-        own_h, slab_h = refs[n_prefetch:n_prefetch + 2]
-        outs = refs[n_prefetch + 2:n_prefetch + 2 + n_outputs]
-        own_scr, slab_scr, osem, ssem = refs[
-            n_prefetch + 2 + n_outputs:
-        ]
+            out.append((own3[k] - ck) * rw - sk)
+    return out, rw
+
+
+def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
+               block, ccol, n_blocks, interpret=False):
+    """Build a jitted pair pass over [n_blocks] own blocks.
+
+    prep_fn(orow, ocol) -> own_ctx — once per block; orow(a) reads own
+      field a as a natural (1, block) lane row, ocol(a) as a (block, 1)
+      sublane column (from one identity-matmul transpose of the whole own
+      block on the MXU).
+    tile_fn(own_ctx, slab, ctx, accs) -> accs — per ccol-wide slab tile;
+      slab is a VMEM ref view [slab_cols, ccol]; ctx carries colg (1, ccol)
+      global slab row ids, base (1, ccol) window-validity mask, own_gid
+      (block, 1); accs is a tuple of (1, block) lane-row accumulators.
+
+    Scalar-prefetch tables (from core.fast._window_tables): aln/lo/hi/s0
+    flattened [n_blocks * 3] int32 chunk descriptors (indexed b*3 + chunk;
+    2-D SMEM arrays are lane-padded to 128, 1-D ones are not) and cnt
+    [n_blocks] int32 total tile counts.
+    """
+    n_prefetch = 5
+
+    def kernel(aln_t, lo_t, hi_t, s0_t, cnt_t, own_h, slab_h, *rest):
+        outs = rest[:n_outputs]
+        own_scr, slab_scr, osem, ssem = rest[n_outputs:]
 
         b = pl.program_id(0)
-        own_off = pl.multiple_of(b * B, ALIGN)
+        own_off = pl.multiple_of(b * block, block)
+        cp_own = pltpu.make_async_copy(
+            own_h.at[:, pl.ds(own_off, block)], own_scr, osem
+        )
+        cp_own.start()
+        n_s = cnt_t[b]
 
-        def compute():
-            # double-buffered slab chunks: chunk ci+1's DMA overlaps chunk
-            # ci's pair math
-            def slab_copy(ci, slot):
-                off = pl.multiple_of(aoff[b, ci], ALIGN)
-                return pltpu.make_async_copy(
-                    slab_h.at[:, pl.ds(off, ccap)],
-                    slab_scr.at[slot], ssem.at[slot],
-                )
+        b3 = b * 3
 
-            cp_own = pltpu.make_async_copy(
-                own_h.at[:, pl.ds(own_off, B)], own_scr, osem
-            )
-            cp_own.start()
-            slab_copy(0, 0).start()
-            cp_own.wait()
-            own_gid = own_off + jax.lax.broadcasted_iota(
-                jnp.int32, (B, 1), 0
-            )
+        def tile_chunk_off(s):
+            c = b3 + ((s >= s0_t[b3 + 1]).astype(jnp.int32)
+                      + (s >= s0_t[b3 + 2]).astype(jnp.int32))
+            off = aln_t[c] + (s - s0_t[c]) * ccol
+            return c, pl.multiple_of(off, ALIGN)
 
-            accs = tuple(
-                jnp.zeros((B, 1), jnp.float32) for _ in range(n_outputs)
-            )
-            for ci in range(3):
-                slot = ci % 2
-                if ci + 1 < 3:
-                    slab_copy(ci + 1, (ci + 1) % 2).start()
-                slab_copy(ci, slot).wait()
-                off = pl.multiple_of(aoff[b, ci], ALIGN)
-                lo = lo_t[b, ci]
-                hi = hi_t[b, ci]
-                view = slab_scr.at[slot]
-                for col0 in range(0, ccap, ccol):
-                    colg = (off + col0) + jax.lax.broadcasted_iota(
-                        jnp.int32, (1, ccol), 1
-                    )
-                    base = (colg >= lo) & (colg < hi)
-                    ctx = dict(colg=colg, base=base, own_gid=own_gid,
-                               col0=col0)
-                    accs = kernel_body(own_scr, view, ctx, accs)
-            return accs
-
-        if has_flags:
-            zeros = tuple(
-                jnp.zeros((B, 1), jnp.float32) for _ in range(n_outputs)
+        def tile_copy(s, slot):
+            _, off = tile_chunk_off(s)
+            return pltpu.make_async_copy(
+                slab_h.at[:, pl.ds(off, ccol)], slab_scr.at[slot],
+                ssem.at[slot],
             )
 
-            @pl.when(flags[b] != 0)
+        @pl.when(n_s > 0)
+        def _():
+            tile_copy(0, 0).start()
+
+        cp_own.wait()
+        # one MXU transpose of the own block: rows (cols, block) ->
+        # columns (block, cols); Mosaic has no cheap sublane<->lane relayout
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+               ).astype(jnp.float32)
+        ownT = _dotT(eye, own_scr[:, :])         # (block, own_cols)
+
+        def orow(a):
+            return own_scr[a:a + 1, :]
+
+        def ocol(a):
+            return ownT[:, a:a + 1]
+
+        own_ctx = prep_fn(orow, ocol)
+        own_gid = own_off + jax.lax.broadcasted_iota(
+            jnp.int32, (block, 1), 0
+        )
+
+        def body(s, accs):
+            slot = jax.lax.rem(s, 2)
+
+            @pl.when(s + 1 < n_s)
             def _():
-                accs = compute()
-                for k in range(n_outputs):
-                    outs[k][:, :] = accs[k]
+                tile_copy(s + 1, jax.lax.rem(s + 1, 2)).start()
 
-            @pl.when(flags[b] == 0)
-            def _():
-                for k in range(n_outputs):
-                    outs[k][:, :] = zeros[k]
-        else:
-            accs = compute()
-            for k in range(n_outputs):
-                outs[k][:, :] = accs[k]
+            tile_copy(s, slot).wait()
+            c, off = tile_chunk_off(s)
+            colg = off + jax.lax.broadcasted_iota(jnp.int32, (1, ccol), 1)
+            base = (colg >= lo_t[c]) & (colg < hi_t[c])
+            ctx = dict(colg=colg, base=base, own_gid=own_gid)
+            return tile_fn(own_ctx, slab_scr.at[slot], ctx, accs)
+
+        accs = tuple(
+            jnp.zeros((1, block), jnp.float32) for _ in range(n_outputs)
+        )
+        accs = jax.lax.fori_loop(0, n_s, body, accs)
+        # outputs are (8, block) blocks shared by 8 consecutive grid steps
+        # (Pallas requires sublane dims divisible by 8); write our row
+        row = jax.lax.rem(b, 8)
+        for k in range(n_outputs):
+            outs[k][pl.ds(row, 1), :] = accs[k]
 
     # Packs must stay in HBM: the compiler would otherwise place small
     # inputs in VMEM, where dynamically-offset DMA slices can't be lowered.
@@ -169,24 +226,25 @@ def _make_pass(kernel_body, *, own_cols, slab_cols, n_outputs, ccap, ccol,
         num_scalar_prefetch=n_prefetch,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=mspace),  # own pack
-            pl.BlockSpec(memory_space=mspace),  # slab pack
+            pl.BlockSpec(memory_space=mspace),  # own pack [cols, n_alloc]
+            pl.BlockSpec(memory_space=mspace),  # slab pack [cols, n_alloc]
         ],
         out_specs=tuple(
-            pl.BlockSpec((B, 1), lambda b, *_: (b, 0),
+            pl.BlockSpec((8, block), lambda b, *_: (b // 8, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(n_outputs)
         ),
         scratch_shapes=(
-            [pltpu.VMEM((own_cols, B), jnp.float32),
-             pltpu.VMEM((2, slab_cols, ccap), jnp.float32)]
+            [pltpu.VMEM((-(-own_cols // 8) * 8, block), jnp.float32),
+             pltpu.VMEM((2, -(-slab_cols // 8) * 8, ccol), jnp.float32)]
             + [pltpu.SemaphoreType.DMA,
                pltpu.SemaphoreType.DMA((2,))]
         ),
     )
-    n_pad = n_blocks * B
+    n_pad = n_blocks * block
+    rows8 = -(-n_blocks // 8) * 8
     out_shape = tuple(
-        jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)
+        jax.ShapeDtypeStruct((rows8, block), jnp.float32)
         for _ in range(n_outputs)
     )
 
@@ -198,190 +256,156 @@ def _make_pass(kernel_body, *, own_cols, slab_cols, n_outputs, ccap, ccol,
             out_shape=out_shape,
             interpret=interpret,
             compiler_params=None if interpret else pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
+                vmem_limit_bytes=64 * 1024 * 1024,
             ),
         )(*args)
         if n_outputs == 1:
-            return res[0].reshape(n_pad)
-        return tuple(r.reshape(n_pad) for r in res)
+            return res[0][:n_blocks].reshape(n_pad)
+        return tuple(r[:n_blocks].reshape(n_pad) for r in res)
 
     return call
 
 
-def make_density_pass(*, ccap, ccol, n_blocks, inv_h2, c_rho,
+def _q2_of(oc, slab, inv_h2, row0=0, own_start=0):
+    """Exact pair q^2 (block, ccol) from the own (block, 1) columns
+    oc[own_start..+3) and slab rows [row0, +3)."""
+    dx = oc[own_start] - _srow(slab, row0)
+    dy = oc[own_start + 1] - _srow(slab, row0 + 1)
+    dz = oc[own_start + 2] - _srow(slab, row0 + 2)
+    q2 = (dx * dx + dy * dy + dz * dz) * inv_h2
+    return q2, dx, dy, dz
+
+
+def make_density_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
                       interpret=False, **_):
     """rho_i = c_rho * max(1, sum poly6 over pairs q^2 <= 1)
     (sphFluid.cl:472-518, all-pairs form)."""
 
-    def body(own, slab, ctx, accs):
-        col0 = ctx["col0"]
-        xo, yo, zo = (_own_row(own, PM_X), _own_row(own, PM_Y),
-                      _own_row(own, PM_Z))
-        sx = _slab_col(slab, PM_X, col0, ccol)
-        sy = _slab_col(slab, PM_Y, col0, ccol)
-        sz = _slab_col(slab, PM_Z, col0, ccol)
-        dx, dy, dz = xo - sx, yo - sy, zo - sz
-        q2 = (dx * dx + dy * dy + dz * dz) * inv_h2
+    def prep(orow, ocol):
+        return dict(oc=[ocol(k) for k in range(3)])
+
+    def tile(own, slab, ctx, accs):
+        q2, _, _, _ = _q2_of(own["oc"], slab, inv_h2)
         ok = ctx["base"] & (ctx["colg"] != ctx["own_gid"]) & (q2 <= 1.0)
         t = 1.0 - q2
         w = jnp.where(ok, t * t * t, 0.0)
         (acc,) = accs
-        return (acc + jnp.sum(w, axis=1, keepdims=True),)
+        return (acc + _lsum(w),)
 
-    raw = _make_pass(body, own_cols=MAIN_COLS, slab_cols=MAIN_COLS,
-                     n_outputs=1, ccap=ccap, ccol=ccol, n_blocks=n_blocks,
-                     interpret=interpret)
+    raw = _make_pass(prep, tile, own_cols=MAIN_COLS,
+                     slab_cols=MAIN_COLS, n_outputs=1, block=block,
+                     ccol=ccol, n_blocks=n_blocks, interpret=interpret)
 
-    def call(tables, main_pack):
-        s = raw(tables, main_pack, main_pack)
+    def call(tables, own_pack, slab_pack):
+        s = raw(tables, own_pack, slab_pack)
         return c_rho * jnp.maximum(s, 1.0)
 
     return call
 
 
-def make_visc_pass(*, ccap, ccol, n_blocks, inv_h2, interpret=False, **_):
-    """Viscosity pair sums (sphFluid.cl:589-708), over q < 1 pairs:
-    sum (ve_j - ve_i)(1-q)/rho_j. Boundary neighbors contribute wall normals
-    as velocity (pack's VE columns pre-substituted)."""
+def make_viscsurf_pass(*, block, ccol, n_blocks, inv_h2, interpret=False,
+                       **_):
+    """Fused viscosity + surface-tension pair sums (sphFluid.cl:589-708),
+    over q < 1 pairs: visc = sum (ve_j - ve_i)(1-q)/rho_j, surf = sum
+    (x_i - x_j). Boundary neighbors contribute wall normals as velocity
+    (pack's VE columns pre-substituted). Outputs (vx, vy, vz, sx, sy, sz)."""
 
-    def body(own, slab, ctx, accs):
-        col0 = ctx["col0"]
-        xo, yo, zo = (_own_row(own, PM_X), _own_row(own, PM_Y),
-                      _own_row(own, PM_Z))
-        vxo, vyo, vzo = (_own_row(own, PM_VEX), _own_row(own, PM_VEY),
-                         _own_row(own, PM_VEZ))
-        sx = _slab_col(slab, PM_X, col0, ccol)
-        sy = _slab_col(slab, PM_Y, col0, ccol)
-        sz = _slab_col(slab, PM_Z, col0, ccol)
-        dx, dy, dz = xo - sx, yo - sy, zo - sz
-        q2 = (dx * dx + dy * dy + dz * dz) * inv_h2
+    def prep(orow, ocol):
+        return dict(oc=[ocol(k) for k in range(3)],
+                    vo=[orow(PM_VEX + k) for k in range(3)],
+                    xo=[orow(k) for k in range(3)])
+
+    def tile(own, slab, ctx, accs):
+        q2, _, _, _ = _q2_of(own["oc"], slab, inv_h2)
         ok = ctx["base"] & (ctx["colg"] != ctx["own_gid"]) & (q2 < 1.0)
 
         q = jnp.sqrt(q2)
-        rho_j = _slab_col(slab, PM_RHO, col0, ccol)
-        wv = jnp.where(ok, (1.0 - q) / rho_j, 0.0)
-        svx = _slab_col(slab, PM_VEX, col0, ccol)
-        svy = _slab_col(slab, PM_VEY, col0, ccol)
-        svz = _slab_col(slab, PM_VEZ, col0, ccol)
+        inv_rho = 1.0 / _srow(slab, PM_RHO)
+        wv = jnp.where(ok, (1.0 - q) * inv_rho, 0.0)
+        ws = jnp.where(ok, 1.0, 0.0)
 
-        vx, vy, vz = accs
-        vx = vx + jnp.sum((svx - vxo) * wv, axis=1, keepdims=True)
-        vy = vy + jnp.sum((svy - vyo) * wv, axis=1, keepdims=True)
-        vz = vz + jnp.sum((svz - vzo) * wv, axis=1, keepdims=True)
-        return vx, vy, vz
+        sv, rv = _wsum3_rw(wv, slab, PM_VEX)     # sum wv * ve_j (+ row-sum)
+        sx = _wsum3(ws, slab, PM_X, own3=own["xo"])  # sum ws * (x_i - x_j)
 
-    return _make_pass(body, own_cols=MAIN_COLS, slab_cols=MAIN_COLS,
-                      n_outputs=3, ccap=ccap, ccol=ccol, n_blocks=n_blocks,
-                      interpret=interpret)
+        vx, vy, vz, stx, sty, stz = accs
+        vo = own["vo"]
+        vx = vx + sv[0] - vo[0] * rv
+        vy = vy + sv[1] - vo[1] * rv
+        vz = vz + sv[2] - vo[2] * rv
+        return vx, vy, vz, stx + sx[0], sty + sx[1], stz + sx[2]
 
-
-def make_surf_pass(*, ccap, ccol, n_blocks, inv_h2, interpret=False, **_):
-    """Surface-tension pair sums (sphFluid.cl:662): sum (x_i - x_j) over
-    q < 1 pairs."""
-
-    def body(own, slab, ctx, accs):
-        col0 = ctx["col0"]
-        xo, yo, zo = (_own_row(own, PM_X), _own_row(own, PM_Y),
-                      _own_row(own, PM_Z))
-        sx = _slab_col(slab, PM_X, col0, ccol)
-        sy = _slab_col(slab, PM_Y, col0, ccol)
-        sz = _slab_col(slab, PM_Z, col0, ccol)
-        dx, dy, dz = xo - sx, yo - sy, zo - sz
-        q2 = (dx * dx + dy * dy + dz * dz) * inv_h2
-        ok = ctx["base"] & (ctx["colg"] != ctx["own_gid"]) & (q2 < 1.0)
-        okf = jnp.where(ok, 1.0, 0.0)
-
-        stx, sty, stz = accs
-        stx = stx + jnp.sum(dx * okf, axis=1, keepdims=True)
-        sty = sty + jnp.sum(dy * okf, axis=1, keepdims=True)
-        stz = stz + jnp.sum(dz * okf, axis=1, keepdims=True)
-        return stx, sty, stz
-
-    return _make_pass(body, own_cols=MAIN_COLS, slab_cols=MAIN_COLS,
-                      n_outputs=3, ccap=ccap, ccol=ccol, n_blocks=n_blocks,
-                      interpret=interpret)
+    return _make_pass(prep, tile, own_cols=MAIN_COLS,
+                      slab_cols=MAIN_COLS, n_outputs=6, block=block,
+                      ccol=ccol, n_blocks=n_blocks, interpret=interpret)
 
 
-def make_rho_star_pass(*, ccap, ccol, n_blocks, inv_h2, c_rho,
+def make_rho_star_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
                        interpret=False, **_):
     """Predicted density (sphFluid.cl:982-1059): pair set = within h at
     time t (cached-neighbor semantics), contribution from predicted
     positions with q*^2 < 1 strict. Pack cols: 0-2 time-t pos,
     3-5 predicted pos."""
 
-    def body(own, slab, ctx, accs):
-        col0 = ctx["col0"]
-        xo, yo, zo = _own_row(own, 0), _own_row(own, 1), _own_row(own, 2)
-        xso, yso, zso = _own_row(own, 3), _own_row(own, 4), _own_row(own, 5)
-        sx = _slab_col(slab, 0, col0, ccol)
-        sy = _slab_col(slab, 1, col0, ccol)
-        sz = _slab_col(slab, 2, col0, ccol)
-        sxs = _slab_col(slab, 3, col0, ccol)
-        sys_ = _slab_col(slab, 4, col0, ccol)
-        szs = _slab_col(slab, 5, col0, ccol)
+    def prep(orow, ocol):
+        return dict(oc=[ocol(k) for k in range(6)])
 
-        dx, dy, dz = xo - sx, yo - sy, zo - sz
-        q2t = (dx * dx + dy * dy + dz * dz) * inv_h2
-        dxs, dys, dzs = xso - sxs, yso - sys_, zso - szs
-        q2s = (dxs * dxs + dys * dys + dzs * dzs) * inv_h2
+    def tile(own, slab, ctx, accs):
+        q2t, _, _, _ = _q2_of(own["oc"], slab, inv_h2)
+        q2s, _, _, _ = _q2_of(own["oc"], slab, inv_h2, row0=3, own_start=3)
         ok = (ctx["base"] & (ctx["colg"] != ctx["own_gid"])
               & (q2t <= 1.0) & (q2s < 1.0))
         t = 1.0 - q2s
         w = jnp.where(ok, t * t * t, 0.0)
         (acc,) = accs
-        return (acc + jnp.sum(w, axis=1, keepdims=True),)
+        return (acc + _lsum(w),)
 
-    raw = _make_pass(body, own_cols=ITER_COLS, slab_cols=ITER_COLS,
-                     n_outputs=1, ccap=ccap, ccol=ccol, n_blocks=n_blocks,
-                     interpret=interpret)
+    raw = _make_pass(prep, tile, own_cols=ITER_COLS,
+                     slab_cols=ITER_COLS, n_outputs=1, block=block,
+                     ccol=ccol, n_blocks=n_blocks, interpret=interpret)
 
-    def call(tables, pack):
-        s = raw(tables, pack, pack)
+    def call(tables, own_pack, slab_pack):
+        s = raw(tables, own_pack, slab_pack)
         return c_rho * jnp.maximum(s, 1.0)
 
     return call
 
 
-def make_paccel_pass(*, ccap, ccol, n_blocks, inv_h2, inv_h, rho0_delta,
+def make_paccel_pass(*, block, ccol, n_blocks, inv_h2, inv_h, rho0_delta,
                      interpret=False, **_):
     """Pressure-force pair sums (sphFluid.cl:1101-1212): for 0 < q < 1
     pairs, term = (1-q)^2 * 0.5 * (p_i + p_j)/rho*_j, anti-clump
-    substitution below q = 0.25; direction = unit(x_i - x_j).
+    substitution below q = 0.25; direction = unit(x_i - x_j), scaled by
+    inv_h to match the reference's spiky gradient.
     Pack cols: [x, y, z, rho*, p] (time-t positions)."""
 
-    def body(own, slab, ctx, accs):
-        col0 = ctx["col0"]
-        xo, yo, zo = _own_row(own, 0), _own_row(own, 1), _own_row(own, 2)
-        po = _own_row(own, 4)
-        sx = _slab_col(slab, 0, col0, ccol)
-        sy = _slab_col(slab, 1, col0, ccol)
-        sz = _slab_col(slab, 2, col0, ccol)
-        srho = _slab_col(slab, 3, col0, ccol)
-        sp = _slab_col(slab, 4, col0, ccol)
+    def prep(orow, ocol):
+        return dict(oc=[ocol(k) for k in range(3)], po=ocol(4),
+                    xo=[orow(k) for k in range(3)])
 
-        dx, dy, dz = xo - sx, yo - sy, zo - sz
-        q2 = (dx * dx + dy * dy + dz * dz) * inv_h2
+    def tile(own, slab, ctx, accs):
+        q2, _, _, _ = _q2_of(own["oc"], slab, inv_h2)
         ok = (ctx["base"] & (ctx["colg"] != ctx["own_gid"])
               & (q2 < 1.0) & (q2 > 0.0))
         q = jnp.sqrt(q2)
         one_m_q = 1.0 - q
-        far = one_m_q * one_m_q * 0.5 * (po + sp)
+        inv_srho = 1.0 / _srow(slab, 3)
+        sp = _srow(slab, 4)
+        far = one_m_q * one_m_q * 0.5 * (own["po"] + sp)
         cm = 0.25 - q
         close = cm * cm * 0.5 * rho0_delta
-        term = jnp.where(q < 0.25, close, far) / srho
+        term = jnp.where(q < 0.25, close, far) * inv_srho
         w = jnp.where(ok, term / (q + 1e-30) * inv_h, 0.0)
+
+        s = _wsum3(w, slab, 0, own3=own["xo"])   # sum w * (x_i - x_j)
         ax, ay, az = accs
-        ax = ax + jnp.sum(w * dx, axis=1, keepdims=True)
-        ay = ay + jnp.sum(w * dy, axis=1, keepdims=True)
-        az = az + jnp.sum(w * dz, axis=1, keepdims=True)
-        return ax, ay, az
+        return ax + s[0], ay + s[1], az + s[2]
 
-    return _make_pass(body, own_cols=ITER_COLS, slab_cols=ITER_COLS,
-                      n_outputs=3, ccap=ccap, ccol=ccol, n_blocks=n_blocks,
-                      interpret=interpret)
+    return _make_pass(prep, tile, own_cols=PACC_COLS,
+                      slab_cols=PACC_COLS, n_outputs=3, block=block,
+                      ccol=ccol, n_blocks=n_blocks, interpret=interpret)
 
 
-def make_boundary_pass(*, ccap, ccol, n_blocks, inv_h2, r0,
+def make_boundary_pass(*, block, ccol, n_blocks, inv_h2, r0,
                        interpret=False, **_):
     """Ihmsen boundary-response pair sums (sphFluid.cl:824-887).
 
@@ -390,99 +414,90 @@ def make_boundary_pass(*, ccap, ccol, n_blocks, inv_h2, r0,
     distance of the *new* own position to the boundary particle.
     Outputs: n_ci (3), w_sum, w2_sum."""
 
-    def body(own, slab, ctx, accs):
-        col0 = ctx["col0"]
-        xo, yo, zo = _own_row(own, 0), _own_row(own, 1), _own_row(own, 2)
-        xno, yno, zno = _own_row(own, 3), _own_row(own, 4), _own_row(own, 5)
-        sx = _slab_col(slab, PB_X, col0, ccol)
-        sy = _slab_col(slab, PB_Y, col0, ccol)
-        sz = _slab_col(slab, PB_Z, col0, ccol)
-        isb = _slab_col(slab, PB_ISB, col0, ccol)
+    def prep(orow, ocol):
+        return dict(oc=[ocol(k) for k in range(6)])
 
-        dx, dy, dz = xo - sx, yo - sy, zo - sz
-        q2 = (dx * dx + dy * dy + dz * dz) * inv_h2
+    def tile(own, slab, ctx, accs):
+        oc = own["oc"]
+        q2t, _, _, _ = _q2_of(oc, slab, inv_h2)
+        isb = _srow(slab, PB_ISB)
         ok = (ctx["base"] & (ctx["colg"] != ctx["own_gid"])
-              & (q2 <= 1.0) & (isb > 0.0))
+              & (q2t <= 1.0) & (isb > 0.0))
 
-        dnx, dny, dnz = xno - sx, yno - sy, zno - sz
+        dnx = oc[3] - _srow(slab, PB_X)
+        dny = oc[4] - _srow(slab, PB_Y)
+        dnz = oc[5] - _srow(slab, PB_Z)
         dist = jnp.sqrt(dnx * dnx + dny * dny + dnz * dnz)
         w = jnp.where(ok, jnp.maximum(0.0, (r0 - dist) / r0), 0.0)
-        nx_ = _slab_col(slab, PB_NX, col0, ccol)
-        ny_ = _slab_col(slab, PB_NY, col0, ccol)
-        nz_ = _slab_col(slab, PB_NZ, col0, ccol)
+        wd = w * (r0 - dist)
 
+        sn, rw = _wsum3_rw(w, slab, PB_NX)       # sum w * n_j (+ row-sum)
         ax, ay, az, ws, w2 = accs
-        ax = ax + jnp.sum(w * nx_, axis=1, keepdims=True)
-        ay = ay + jnp.sum(w * ny_, axis=1, keepdims=True)
-        az = az + jnp.sum(w * nz_, axis=1, keepdims=True)
-        ws = ws + jnp.sum(w, axis=1, keepdims=True)
-        w2 = w2 + jnp.sum(w * (r0 - dist), axis=1, keepdims=True)
-        return ax, ay, az, ws, w2
+        return (ax + sn[0], ay + sn[1], az + sn[2],
+                ws + rw, w2 + _lsum(wd))
 
-    return _make_pass(body, own_cols=ITER_COLS, slab_cols=BND_COLS,
-                      n_outputs=5, ccap=ccap, ccol=ccol, n_blocks=n_blocks,
-                      interpret=interpret)
+    return _make_pass(prep, tile, own_cols=OWN_COLS,
+                      slab_cols=BND_COLS, n_outputs=5, block=block,
+                      ccol=ccol, n_blocks=n_blocks, interpret=interpret)
 
 
-def make_membrane_pass(*, ccap, ccol, n_blocks, inv_h2, r0,
+def make_membrane_pass(*, block, ccol, n_blocks, inv_h2, r0,
                        interpret=False, **_):
     """Membrane interaction pair sums (sphFluid.cl:1369-1650).
 
     own pack cols: [x_t, y_t, z_t, xn, yn, zn]; slab = membrane pack: per
-    particle 7 x (plane normal, ref point) at cols 6t..6t+5 (zeros when
-    absent), cols 42-44 x(t+1), cols 45-47 x(t). Blocks without
-    liquid-near-membrane work are skipped via the flags table.
+    particle 7 x (plane normal, ref point) at rows 6t..6t+5 (zeros when
+    absent), rows 42-44 x(t+1), rows 45-47 x(t). Blocks without
+    liquid-near-membrane work have their tile count zeroed by the caller.
     Outputs: n_ci (3), w_sum, w2_sum."""
 
-    def body(own, slab, ctx, accs):
-        col0 = ctx["col0"]
-        xo, yo, zo = _own_row(own, 0), _own_row(own, 1), _own_row(own, 2)
-        xno, yno, zno = _own_row(own, 3), _own_row(own, 4), _own_row(own, 5)
-        stx = _slab_col(slab, PMM_XT, col0, ccol)
-        sty = _slab_col(slab, PMM_YT, col0, ccol)
-        stz = _slab_col(slab, PMM_ZT, col0, ccol)
-        dtx, dty, dtz = xo - stx, yo - sty, zo - stz
-        q2t = (dtx * dtx + dty * dty + dtz * dtz) * inv_h2
+    def prep(orow, ocol):
+        return dict(oc=[ocol(k) for k in range(6)])
+
+    def tile(own, slab, ctx, accs):
+        oc = own["oc"]
+        q2t, _, _, _ = _q2_of(oc, slab, inv_h2, row0=PMM_XT)
         ok = ctx["base"] & (ctx["colg"] != ctx["own_gid"]) & (q2t <= 1.0)
 
-        navx = jnp.zeros((B, ccol), jnp.float32)
-        navy = jnp.zeros((B, ccol), jnp.float32)
-        navz = jnp.zeros((B, ccol), jnp.float32)
-        cnt = jnp.zeros((B, ccol), jnp.float32)
+        xno, yno, zno = oc[3], oc[4], oc[5]
+        # per-triangle side signs: s = nt . (xn_own - at); nt == 0 rows
+        # (absent triangles) give |nt|^2 == 0 and are skipped via has_t
+        sgns = []
+        cnt = jnp.zeros_like(q2t)
         for t in range(7):
-            ntx = _slab_col(slab, 6 * t + 0, col0, ccol)
-            nty = _slab_col(slab, 6 * t + 1, col0, ccol)
-            ntz = _slab_col(slab, 6 * t + 2, col0, ccol)
-            atx = _slab_col(slab, 6 * t + 3, col0, ccol)
-            aty = _slab_col(slab, 6 * t + 4, col0, ccol)
-            atz = _slab_col(slab, 6 * t + 5, col0, ccol)
+            ntx = _srow(slab, 6 * t + 0)
+            nty = _srow(slab, 6 * t + 1)
+            ntz = _srow(slab, 6 * t + 2)
+            atx = _srow(slab, 6 * t + 3)
+            aty = _srow(slab, 6 * t + 4)
+            atz = _srow(slab, 6 * t + 5)
             s = ((xno - atx) * ntx + (yno - aty) * nty
                  + (zno - atz) * ntz)
             has_t = (ntx * ntx + nty * nty + ntz * ntz > 0.0) & (s != 0.0)
             sgn = jnp.where(has_t, jnp.sign(s), 0.0)
-            navx = navx + sgn * ntx
-            navy = navy + sgn * nty
-            navz = navz + sgn * ntz
-            cnt = cnt + jnp.where(has_t, 1.0, 0.0)
+            sgns.append(sgn)
+            cnt = cnt + jnp.abs(sgn)
 
         inv_cnt = 1.0 / jnp.maximum(cnt, 1.0)
         is_entry = ok & (cnt > 0.0)
 
-        sxn = _slab_col(slab, PMM_XN, col0, ccol)
-        syn = _slab_col(slab, PMM_YN, col0, ccol)
-        szn = _slab_col(slab, PMM_ZN, col0, ccol)
-        dnx, dny, dnz = xno - sxn, yno - syn, zno - szn
+        dnx = xno - _srow(slab, PMM_XN)
+        dny = yno - _srow(slab, PMM_YN)
+        dnz = zno - _srow(slab, PMM_ZN)
         dist = jnp.sqrt(dnx * dnx + dny * dny + dnz * dnz)
         w = jnp.where(is_entry, jnp.maximum(0.0, (r0 - dist) / r0), 0.0)
         wc = w * inv_cnt
+
         ax, ay, az, ws, w2 = accs
-        ax = ax + jnp.sum(wc * navx, axis=1, keepdims=True)
-        ay = ay + jnp.sum(wc * navy, axis=1, keepdims=True)
-        az = az + jnp.sum(wc * navz, axis=1, keepdims=True)
-        ws = ws + jnp.sum(w, axis=1, keepdims=True)
-        w2 = w2 + jnp.sum(w * (r0 - dist), axis=1, keepdims=True)
+        for t in range(7):
+            nav = _lsum(wc * sgns[t], slab[6 * t:6 * t + 3, :])  # (3, block)
+            ax = ax + nav[0:1, :]
+            ay = ay + nav[1:2, :]
+            az = az + nav[2:3, :]
+        ws = ws + _lsum(w)
+        w2 = w2 + _lsum(w * (r0 - dist))
         return ax, ay, az, ws, w2
 
-    return _make_pass(body, own_cols=ITER_COLS, slab_cols=MEM_COLS,
-                      n_outputs=5, ccap=ccap, ccol=ccol, n_blocks=n_blocks,
-                      has_flags=True, interpret=interpret)
+    return _make_pass(prep, tile, own_cols=OWN_COLS,
+                      slab_cols=MEM_COLS, n_outputs=5, block=block,
+                      ccol=ccol, n_blocks=n_blocks, interpret=interpret)

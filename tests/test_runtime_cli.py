@@ -118,22 +118,17 @@ def test_simulator_derives_cell_capacity_for_worm():
 
 
 def test_overflow_warning_surfaces(caplog):
-    """A deliberately undersized fast-engine slab capacity must produce a
-    visible warning, not silent truncation."""
+    """A deliberately undersized exact-engine cell capacity must produce a
+    visible warning, not silent truncation. (The fast engine streams exact
+    interaction windows and has no capacities to overflow.)"""
     import dataclasses
     import logging
 
     scene, params = box_scene()
-    sim = Simulator(scene, params, engine="fast")
-    # shrink the slab window capacity far below what the scene needs
-    sim._fast_cfg = dataclasses.replace(sim._fast_cfg, ccap=1024)
+    sim = Simulator(scene, params, engine="exact")
+    # shrink the cell capacity far below what the scene needs
+    sim.params = dataclasses.replace(sim.params, cell_capacity=1)
     with caplog.at_level(logging.WARNING, logger="sph_tpu"):
         out = sim.check_overflow()
-    if out["slab_overflow"] > 0:
-        assert any("overflow" in r.message for r in caplog.records)
-    else:  # tiny box fits even 1024: force the assert to be meaningful
-        sim._fast_cfg = dataclasses.replace(sim._fast_cfg, ccap=0)
-        with caplog.at_level(logging.WARNING, logger="sph_tpu"):
-            out = sim.check_overflow()
-        assert out["slab_overflow"] > 0
-        assert any("overflow" in r.message for r in caplog.records)
+    assert out["cell_overflow"] > 0
+    assert any("overflow" in r.message for r in caplog.records)
