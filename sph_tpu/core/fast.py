@@ -141,10 +141,13 @@ def _window_tables(pencil_s, cfg: FastConfig):
     nsub = jnp.stack(nsubs, 1)                       # [nb, 3]
     s0 = jnp.cumsum(nsub, axis=1) - nsub             # exclusive cumsum
     cnt = nsub.sum(axis=1)
-    # flattened [nb * 3] (2-D SMEM arrays lane-pad to 128; 1-D do not)
+    # flattened [nb * 3] (2-D SMEM arrays lane-pad to 128; 1-D do not);
+    # trailing [1] own_base = 0 (own blocks start at pack column 0 on a
+    # single chip; the halo-exchange sharded engine overrides it)
     tables = (
         jnp.stack(alns, 1).reshape(-1), jnp.stack(los, 1).reshape(-1),
         jnp.stack(his, 1).reshape(-1), s0.reshape(-1), cnt,
+        jnp.zeros(1, jnp.int32),
     )
     pencil_ranges = (jnp.stack(plos, 1), jnp.stack(phis, 1))
     return tables, pstart, pencil_ranges
@@ -256,9 +259,9 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
             isb_s[: cfg.n_pad].reshape(cfg.n_blocks, cfg.block).min(axis=1)
             == 0
         )
-        aln_t, lo_t, hi_t, s0_t, cnt_t = tables
+        aln_t, lo_t, hi_t, s0_t, cnt_t, ob_t = tables
         force_tables = (aln_t, lo_t, hi_t, s0_t,
-                        jnp.where(own_nonb, cnt_t, 0))
+                        jnp.where(own_nonb, cnt_t, 0), ob_t)
         # boundary-response pass additionally needs boundary in the window
         seg_b = jax.ops.segment_sum(
             isb_s[:n], pencil_s, num_segments=cfg.n_pencils
@@ -269,7 +272,7 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
         plo_r, phi_r = pranges
         win_has_b = (csum_b[phi_r] - csum_b[plo_r]).sum(axis=1) > 0
         bnd_tables = (aln_t, lo_t, hi_t, s0_t,
-                      jnp.where(own_nonb & win_has_b, cnt_t, 0))
+                      jnp.where(own_nonb & win_has_b, cnt_t, 0), ob_t)
 
         ctx = dict(
             order=order, inv=inv, isb_s=isb_s, liq_s=liq_s,
@@ -315,7 +318,7 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
             )
             flags = chunk_mem & own_liq
             ctx["mem_tables"] = (
-                aln_t, lo_t, hi_t, s0_t, jnp.where(flags, cnt_t, 0),
+                aln_t, lo_t, hi_t, s0_t, jnp.where(flags, cnt_t, 0), ob_t,
             )
         return ctx
 

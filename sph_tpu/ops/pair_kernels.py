@@ -140,17 +140,20 @@ def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
 
     Scalar-prefetch tables (from core.fast._window_tables): aln/lo/hi/s0
     flattened [n_blocks * 3] int32 chunk descriptors (indexed b*3 + chunk;
-    2-D SMEM arrays are lane-padded to 128, 1-D ones are not) and cnt
-    [n_blocks] int32 total tile counts.
+    2-D SMEM arrays are lane-padded to 128, 1-D ones are not), cnt
+    [n_blocks] int32 total tile counts, and own_base [1] int32 — the
+    column of own block 0 inside the pack (0 single-chip; the halo-exchange
+    sharded engine passes the local slab offset of the device's own rows,
+    which must be a multiple of ALIGN).
     """
-    n_prefetch = 5
+    n_prefetch = 6
 
-    def kernel(aln_t, lo_t, hi_t, s0_t, cnt_t, own_h, slab_h, *rest):
+    def kernel(aln_t, lo_t, hi_t, s0_t, cnt_t, ob_t, own_h, slab_h, *rest):
         outs = rest[:n_outputs]
         own_scr, slab_scr, osem, ssem = rest[n_outputs:]
 
         b = pl.program_id(0)
-        own_off = pl.multiple_of(b * block, block)
+        own_off = pl.multiple_of(ob_t[0] + b * block, ALIGN)
         cp_own = pltpu.make_async_copy(
             own_h.at[:, pl.ds(own_off, block)], own_scr, osem
         )

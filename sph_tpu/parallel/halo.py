@@ -1,0 +1,582 @@
+"""Z-slab halo-exchange SPMD fast engine — the scalable multi-chip path.
+
+Domain decomposition (SURVEY §5/§7: the SPH analog of context parallelism):
+the fast engine keeps particles sorted by cell id in z-major order, so a
+contiguous range of the sorted array IS a z-slab of the world. Each device
+owns ``n_blocks_loc`` consecutive own-blocks (equal particle counts — load
+balanced by construction, unlike equal-z splits) plus a fixed-capacity halo
+band of ``halo_pad`` sorted rows on each side. Between spatial resorts the
+only per-step communication is the halo exchange: two ``ppermute`` rounds
+(left and right neighbor) per exchanged field group, each moving
+``halo_pad`` rows — O(N/D + halo) per device instead of the all-gather
+baseline's O(N) (parallel/sharded.py, kept as the correctness oracle).
+
+Cell size h ≥ interaction radius guarantees one cell-row halos
+(`/root/reference/src/owPhysicsConstant.h:22` uses 2h cells for the same
+reason); ``halo_pad`` must cover the particles of one z cell-row plus
+alignment slack — validated at every resort (``halo_overflow`` aux output,
+nonzero means pairs were dropped and the cap must be raised).
+
+The spatial resort itself is replicated (positions are all-gathered and
+every device computes the global sort + window tables) — O(N) traffic once
+per ``resort_every`` steps, amortized. Springs/membranes evaluate on the
+compact elastic/endpoint subset, globalized per step with one psum of
+[K,3] (K ≈ 10k for the worm) — tiny next to particle state.
+
+The reference has no distributed path at all; this module is new
+capability, not a port.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import SimParams
+from ..constants import BOUNDARY_PARTICLE, LIQUID_PARTICLE
+from ..core import fast as F
+from ..core.state import FluidState, Membranes, Springs
+from ..core.step import SceneLayout
+from ..models import muscle
+from ..ops import pair_kernels as pk
+from ..ops import vec3
+from .mesh import PARTICLE_AXIS
+
+try:  # jax >= 0.6
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+ALIGN = pk.ALIGN
+
+
+def make_halo_fast_multi_step(
+    mesh: Mesh,
+    params: SimParams,
+    layout: SceneLayout,
+    cfg: F.FastConfig,
+    n_steps: int = 1,
+    halo_pad: int = 4096,
+):
+    """Jitted run(state, springs, membranes) -> (state, halo_overflow).
+
+    ``state`` is particle-sharded over ``mesh`` (see
+    parallel.sharded.shard_state); springs/membranes replicated.
+    ``cfg.n_particles`` must be a multiple of ``n_devices * cfg.block``
+    (pad the scene with parallel.mesh.pad_scene_to_devices using
+    ``n_devices * block``). ``halo_overflow`` > 0 means a window reached
+    beyond the halo band (raise halo_pad); pairs were dropped.
+    """
+    ax = PARTICLE_AXIS
+    ndev = mesh.devices.size
+    assert halo_pad % ALIGN == 0
+    n = cfg.n_particles
+    assert n % (ndev * cfg.block) == 0, (
+        f"n_particles {n} must be a multiple of n_devices*block "
+        f"{ndev * cfg.block}"
+    )
+    assert cfg.n_blocks % ndev == 0
+    nb_loc = cfg.n_blocks // ndev
+    n_pad_loc = nb_loc * cfg.block
+    assert n_pad_loc >= halo_pad, (
+        f"halo_pad {halo_pad} exceeds per-device rows {n_pad_loc}; use a "
+        "smaller halo_pad or fewer devices"
+    )
+    n_loc = n // ndev
+    # local slab: [left halo | own rows | right halo | tile overhang]
+    slab_size = n_pad_loc + 2 * halo_pad + cfg.ccol
+    own_off = halo_pad  # static: own rows always start here in the slab
+
+    # the global sorted coordinate system is shifted by +halo_pad so that
+    # device 0's slab start (o0 - halo_pad) is never negative
+    P0 = halo_pad
+    galloc = P0 + cfg.n_pad + cfg.ccol + halo_pad
+
+    far = np.float32(
+        max(params.x_max, params.y_max, params.z_max) + 100.0 * params.h
+    )
+    nx, ny, nz = cfg.dims
+    perm_fwd = [(i, i + 1) for i in range(ndev - 1)]   # send to next
+    perm_bwd = [(i + 1, i) for i in range(ndev - 1)]   # send to prev
+
+    inv_h2 = np.float32(1.0 / (params.h * params.h))
+    inv_h = np.float32(1.0 / params.h)
+    c_rho = np.float32(params.c_rho)
+    r0 = np.float32(params.r0)
+    kw = dict(block=cfg.block, ccol=cfg.ccol, n_blocks=nb_loc,
+              inv_h2=inv_h2, interpret=cfg.interpret)
+    density_pass = pk.make_density_pass(c_rho=c_rho, **kw)
+    viscsurf_pass = pk.make_viscsurf_pass(**kw)
+    rho_star_pass = pk.make_rho_star_pass(c_rho=c_rho, **kw)
+    paccel_pass = pk.make_paccel_pass(
+        inv_h=inv_h, rho0_delta=np.float32(params.rho0 * params.delta), **kw
+    )
+    boundary_pass = pk.make_boundary_pass(r0=r0, **kw)
+    membrane_pass = pk.make_membrane_pass(r0=r0, **kw)
+
+    dt = np.float32(params.time_step)
+    pos_dt = np.float32(params.time_step * params.simulation_scale_inv)
+    rho0 = np.float32(params.rho0)
+    delta_c = np.float32(params.delta)
+    c_press = np.float32(params.c_press)
+    c_visc = np.float32(params.c_visc)
+    c_surf = np.float32(params.c_surf)
+    gx, gy, gz = (np.float32(g) for g in params.gravity)
+    lo_box = params.box_min
+    hi_box = params.box_max
+
+    def exchange(own_fields, fills):
+        """Build local slabs from own rows + ppermute'd neighbor edges.
+
+        own_fields: list of [n_pad_loc] arrays. Returns list of
+        [slab_size] arrays: [prev tail | own | next head | fill].
+        Devices at the chain ends receive zeros from ppermute; those halo
+        columns are never inside any window's [lo, hi) so the values are
+        base-masked in the kernels.
+        """
+        k = len(own_fields)
+        stack = jnp.stack(own_fields, 0)                      # [k, n_pad_loc]
+        tail = jax.lax.ppermute(stack[:, -halo_pad:], ax, perm_fwd)
+        head = jax.lax.ppermute(stack[:, :halo_pad], ax, perm_bwd)
+        out = []
+        for i in range(k):
+            fill = jnp.full((cfg.ccol,), fills[i], jnp.float32)
+            out.append(jnp.concatenate(
+                [tail[i], own_fields[i], head[i], fill]
+            ))
+        return out
+
+    def sweep(state_l, springs, membranes, r_steps):
+        """One resort + r_steps sorted-space local steps. state_l holds the
+        device's original-space rows [n_loc]."""
+        # ---- replicated resort -------------------------------------------
+        def ag(a):
+            return jax.lax.all_gather(a, ax, tiled=True)
+
+        pos = vec3.split(state_l.pos)
+        pos_g = vec3.V3(ag(pos.x), ag(pos.y), ag(pos.z))
+        vel = vec3.split(state_l.vel)
+        vel_g = vec3.V3(ag(vel.x), ag(vel.y), ag(vel.z))
+        nrm = vec3.split(state_l.normal)
+        nrm_g = vec3.V3(ag(nrm.x), ag(nrm.y), ag(nrm.z))
+        ptype_g = ag(state_l.ptype)
+        is_b = (ptype_g == BOUNDARY_PARTICLE).astype(jnp.float32)
+        is_liq = (ptype_g == LIQUID_PARTICLE).astype(jnp.float32)
+
+        cell = jnp.float32(1.0 / params.h)
+        bx, by, bz = (jnp.float32(b) for b in params.box_min)
+        cx = jnp.clip(((pos_g.x - bx) * cell).astype(jnp.int32), 0, nx - 1)
+        cy = jnp.clip(((pos_g.y - by) * cell).astype(jnp.int32), 0, ny - 1)
+        cz = jnp.clip(((pos_g.z - bz) * cell).astype(jnp.int32), 0, nz - 1)
+        pencil = cx + nx * cz
+        cid = cy + ny * pencil
+        order = jnp.argsort(cid, stable=True).astype(jnp.int32)
+        inv = jnp.zeros(n, jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32)
+        )
+        pencil_s = pencil[order]
+
+        tables_g, _, pranges = F._window_tables(pencil_s, cfg)
+        aln_g, lo_g, hi_g, s0_g, cnt_g, _ = tables_g
+
+        dev = jax.lax.axis_index(ax)
+        o0 = dev * n_pad_loc                      # own start, sorted coords
+        base = o0 - halo_pad + P0                 # slab start, shifted
+        # shifted-global window bounds for the local block range
+        t0 = dev * nb_loc * 3
+        aln_l = jax.lax.dynamic_slice(aln_g, (t0,), (nb_loc * 3,)) + P0
+        lo_l = jax.lax.dynamic_slice(lo_g, (t0,), (nb_loc * 3,)) + P0
+        hi_l = jax.lax.dynamic_slice(hi_g, (t0,), (nb_loc * 3,)) + P0
+        cnt_l = jax.lax.dynamic_slice(cnt_g, (dev * nb_loc,), (nb_loc,))
+
+        # clamp windows into the slab; anything clipped = halo overflow
+        slab_lo = base
+        slab_hi = base + n_pad_loc + 2 * halo_pad
+        aln_c = jnp.clip(aln_l, slab_lo, slab_hi)
+        # re-align after clamping (slab_lo is ALIGN-aligned)
+        aln_c = slab_lo + ((aln_c - slab_lo) // ALIGN) * ALIGN
+        lo_c = jnp.clip(lo_l, slab_lo, slab_hi)
+        hi_c = jnp.clip(hi_l, slab_lo, slab_hi)
+        overflow = ((lo_l - lo_c) != 0).sum() + ((hi_l - hi_c) != 0).sum()
+        overflow = jax.lax.psum(overflow, ax)
+        nsub = jnp.where(
+            hi_c > aln_c, -((aln_c - hi_c) // cfg.ccol), 0
+        ).astype(jnp.int32).reshape(nb_loc, 3)
+        s0_new = (jnp.cumsum(nsub, axis=1) - nsub).reshape(-1)
+        cnt_new = nsub.sum(axis=1)
+        # local-slab coordinates
+        aln_c = aln_c - base
+        lo_c = lo_c - base
+        hi_c = hi_c - base
+        ob = jnp.full((1,), own_off, jnp.int32)
+        tables = (aln_c, lo_c, hi_c, s0_new, cnt_new, ob)
+
+        # sorted static fields, local slab slices
+        def sl(a_g_sorted, fill):
+            g = jnp.full((galloc,), fill, a_g_sorted.dtype)
+            g = jax.lax.dynamic_update_slice(g, a_g_sorted, (P0,))
+            return jax.lax.dynamic_slice(g, (base,), (slab_size,))
+
+        isb_s = sl(is_b[order], 0.0)
+        liq_s = sl(is_liq[order], 0.0)
+        nxs = sl(nrm_g.x[order], 0.0)
+        nys = sl(nrm_g.y[order], 0.0)
+        nzs = sl(nrm_g.z[order], 0.0)
+        xs0 = sl(pos_g.x[order], far)
+        ys0 = sl(pos_g.y[order], far)
+        zs0 = sl(pos_g.z[order], far)
+        vx0 = sl(vel_g.x[order], 0.0)
+        vy0 = sl(vel_g.y[order], 0.0)
+        vz0 = sl(vel_g.z[order], 0.0)
+
+        def own_of(a):
+            return jax.lax.dynamic_slice(a, (own_off,), (n_pad_loc,))
+
+        bmask = isb_s[own_off:own_off + n_pad_loc] > 0
+        not_b = (~bmask).astype(jnp.float32)
+
+        # per-block gates (as core.fast.sort_ctx)
+        own_nonb = (
+            isb_s[own_off:own_off + n_pad_loc]
+            .reshape(nb_loc, cfg.block).min(axis=1) == 0
+        )
+        force_tables = tables[:4] + (jnp.where(own_nonb, cnt_new, 0), ob)
+        seg_b = jax.ops.segment_sum(
+            is_b[order], pencil_s, num_segments=cfg.n_pencils
+        )
+        csum_b = jnp.concatenate(
+            [jnp.zeros(1, seg_b.dtype), jnp.cumsum(seg_b)]
+        )
+        plo_r, phi_r = pranges
+        plo_l = jax.lax.dynamic_slice(plo_r, (dev * nb_loc, 0), (nb_loc, 3))
+        phi_l = jax.lax.dynamic_slice(phi_r, (dev * nb_loc, 0), (nb_loc, 3))
+        win_has_b = (csum_b[phi_l] - csum_b[plo_l]).sum(axis=1) > 0
+        bnd_tables = tables[:4] + (
+            jnp.where(own_nonb & win_has_b, cnt_new, 0), ob)
+
+        # ---- elastic-slot machinery (shared by springs + membranes) ------
+        have_springs = springs.n_elastic > 0
+        have_mem = membranes.n_tris > 0
+        if have_springs or have_mem:
+            e0, e1 = layout.elastic_range
+            n_el = e1 - e0
+            eid_of_orig = jnp.full(n, -1, jnp.int32).at[
+                jnp.arange(e0, e1)
+            ].set(jnp.arange(n_el, dtype=jnp.int32))
+            eid_sorted = eid_of_orig[order]
+            # eid of each own row, for the per-step psum globalization
+            eid_own_rows = own_of(
+                sl(eid_sorted.astype(jnp.float32), -1.0)
+            ).astype(jnp.int32)
+            el_rows = inv[jnp.arange(e0, e1)]            # sorted row per eid
+
+            def globalize_elastic(xo, yo, zo):
+                """psum-gather current elastic positions -> [3, n_el]."""
+                tgt = jnp.where(eid_own_rows >= 0, eid_own_rows, n_el)
+                buf = jnp.zeros((3, n_el + 1), jnp.float32)
+                buf = buf.at[0, tgt].add(xo, mode="drop")
+                buf = buf.at[1, tgt].add(yo, mode="drop")
+                buf = buf.at[2, tgt].add(zo, mode="drop")
+                return jax.lax.psum(buf[:, :n_el], ax)
+
+        if have_springs:
+            # springs.idx/row_ids are absolute particle ids; the compact
+            # slot set is their sorted rows. K = Ne here (row side); the
+            # endpoint side may also hit boundary rows — globalize those
+            # from the (static within the sweep) sorted boundary positions.
+            rows_sorted = inv[springs.row_ids]          # [Ne]
+            sidx = springs.idx
+            idx_sorted = jnp.where(
+                sidx >= 0, inv[jnp.maximum(sidx, 0)], -1
+            )                                            # [Ne,32]
+            own_rows_local = rows_sorted - o0            # scatter target
+
+        # ---- membranes: replicated triangle geometry ---------------------
+        if have_mem:
+            pt = membranes.particle_tris[e0:e1]
+            t_ok = pt >= 0
+            t_safe = jnp.maximum(pt, 0)
+            tri_eid = eid_of_orig[membranes.tris]        # [M,3] eids
+            # slab column of each eid on this device (may be OOB -> drop)
+            el_cols = el_rows - base + P0
+            has_mem_orig = jnp.zeros(n, jnp.float32).at[
+                jnp.arange(e0, e1)
+            ].set((pt >= 0).any(axis=1).astype(jnp.float32))
+            hm_s = has_mem_orig[order]
+            seg_m = jax.ops.segment_sum(
+                hm_s, pencil_s, num_segments=cfg.n_pencils
+            )
+            csum_m = jnp.concatenate(
+                [jnp.zeros(1, seg_m.dtype), jnp.cumsum(seg_m)]
+            )
+            chunk_mem = (csum_m[phi_l] - csum_m[plo_l]).sum(axis=1) > 0
+            own_liq = (
+                liq_s[own_off:own_off + n_pad_loc]
+                .reshape(nb_loc, cfg.block).max(axis=1) > 0
+            )
+            mem_tables = tables[:4] + (
+                jnp.where(chunk_mem & own_liq, cnt_new, 0), ob)
+
+        # ---- inner step ---------------------------------------------------
+        def inner(carry, _):
+            xo, yo, zo, vxo, vyo, vzo, act, step_no = carry
+            xs, ys, zs, vxs_t, vys_t, vzs_t = exchange(
+                [xo, yo, zo, vxo, vyo, vzo],
+                [far, far, far, 0.0, 0.0, 0.0],
+            )
+            # boundary rows carry wall normals as "velocity"
+            vxs = jnp.where(isb_s > 0, nxs, vxs_t)
+            vys = jnp.where(isb_s > 0, nys, vys_t)
+            vzs = jnp.where(isb_s > 0, nzs, vzs_t)
+
+            ones = jnp.ones_like(xs)
+            main0 = F._pack([xs, ys, zs, vxs, vys, vzs, ones, isb_s])
+            rho_o = density_pass(tables, main0, main0)
+            rho_o = jnp.where(rho_o <= 0, 1.0, rho_o)
+            (rho_s,) = exchange([rho_o], [1.0])
+            rho_s = jnp.where(rho_s <= 0, 1.0, rho_s)
+
+            main1 = F._pack([xs, ys, zs, vxs, vys, vzs, rho_s, isb_s])
+            vx, vy, vz, stx, sty, stz = viscsurf_pass(
+                force_tables, main1, main1)
+            aex = (c_visc * vx / rho_o + c_surf * stx + gx) * not_b
+            aey = (c_visc * vy / rho_o + c_surf * sty + gy) * not_b
+            aez = (c_visc * vz / rho_o + c_surf * stz + gz) * not_b
+
+            if have_springs:
+                ebuf = globalize_elastic(xo, yo, zo)
+                # endpoint positions: elastic rows from the psum buffer,
+                # anything else (boundary) from the resort-time sorted
+                # positions (static — boundary never moves)
+                ep_eid = eid_sorted[jnp.maximum(idx_sorted, 0)]
+                row_eid = eid_sorted[rows_sorted]
+                exg = jnp.where(ep_eid >= 0,
+                                ebuf[0, jnp.maximum(ep_eid, 0)],
+                                pos_g.x[order][jnp.maximum(idx_sorted, 0)])
+                eyg = jnp.where(ep_eid >= 0,
+                                ebuf[1, jnp.maximum(ep_eid, 0)],
+                                pos_g.y[order][jnp.maximum(idx_sorted, 0)])
+                ezg = jnp.where(ep_eid >= 0,
+                                ebuf[2, jnp.maximum(ep_eid, 0)],
+                                pos_g.z[order][jnp.maximum(idx_sorted, 0)])
+                rxg = ebuf[0, jnp.maximum(row_eid, 0)]
+                ryg = ebuf[1, jnp.maximum(row_eid, 0)]
+                rzg = ebuf[2, jnp.maximum(row_eid, 0)]
+                scale = jnp.float32(params.simulation_scale)
+                dx = (rxg[:, None] - exg) * scale
+                dy = (ryg[:, None] - eyg) * scale
+                dz = (rzg[:, None] - ezg) * scale
+                r = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+                ok = (idx_sorted >= 0) & (r != 0.0)
+                inv_r = 1.0 / jnp.maximum(r, 1e-30)
+                stretch = r - springs.rest
+                coefs = jnp.where(
+                    ok, -stretch * jnp.float32(params.k_spring), 0.0)
+                mid = springs.muscle
+                mact = act[jnp.maximum(mid - 1, 0)]
+                m_on = ok & (mid > 0) & (mact > 0.0)
+                coefs = coefs + jnp.where(
+                    m_on, -mact * jnp.float32(params.muscle_force), 0.0)
+                aex_e = (dx * (coefs * inv_r)).sum(axis=1)
+                aey_e = (dy * (coefs * inv_r)).sum(axis=1)
+                aez_e = (dz * (coefs * inv_r)).sum(axis=1)
+                tgt = jnp.where(
+                    (own_rows_local >= 0) & (own_rows_local < n_pad_loc),
+                    own_rows_local, n_pad_loc)
+                aex = aex.at[tgt].add(aex_e, mode="drop")
+                aey = aey.at[tgt].add(aey_e, mode="drop")
+                aez = aez.at[tgt].add(aez_e, mode="drop")
+
+            # PCISPH
+            p_o = jnp.zeros(n_pad_loc, jnp.float32)
+            apx = jnp.zeros(n_pad_loc, jnp.float32)
+            apy = jnp.zeros(n_pad_loc, jnp.float32)
+            apz = jnp.zeros(n_pad_loc, jnp.float32)
+            own_x = own_of(xs)
+            own_y = own_of(ys)
+            own_z = own_of(zs)
+            for _i in range(params.n_pcisph_iters):
+                xst = jnp.where(bmask, own_x,
+                                own_x + pos_dt * (vxo + dt * apx))
+                yst = jnp.where(bmask, own_y,
+                                own_y + pos_dt * (vyo + dt * apy))
+                zst = jnp.where(bmask, own_z,
+                                own_z + pos_dt * (vzo + dt * apz))
+                xsts, ysts, zsts = exchange([xst, yst, zst],
+                                            [far, far, far])
+                iter_pack = F._pack([xs, ys, zs, xsts, ysts, zsts])
+                rho_star = rho_star_pass(tables, iter_pack, iter_pack)
+                p_o = p_o + jnp.maximum(0.0, (rho_star - rho0) * delta_c)
+                rs_s, p_s = exchange(
+                    [jnp.maximum(rho_star, 1.0), p_o], [1.0, 0.0])
+                pa_pack = F._pack([xs, ys, zs, rs_s, p_s])
+                fx, fy, fz = paccel_pass(force_tables, pa_pack, pa_pack)
+                coef = jnp.where(bmask, 0.0, c_press / rho_star)
+                apx, apy, apz = coef * fx, coef * fy, coef * fz
+
+            # integrate
+            vnx = vxo + dt * (aex + apx)
+            vny = vyo + dt * (aey + apy)
+            vnz = vzo + dt * (aez + apz)
+            xn = jnp.clip(own_x + pos_dt * vnx,
+                          np.float32(lo_box[0]), np.float32(hi_box[0] - 1e-6))
+            yn = jnp.clip(own_y + pos_dt * vny,
+                          np.float32(lo_box[1]), np.float32(hi_box[1] - 1e-6))
+            zn = jnp.clip(own_z + pos_dt * vnz,
+                          np.float32(lo_box[2]), np.float32(hi_box[2] - 1e-6))
+            vax = (vxo + vnx) * 0.5
+            vay = (vyo + vny) * 0.5
+            vaz = (vzo + vnz) * 0.5
+
+            xns, yns, zns = exchange([xn, yn, zn], [far, far, far])
+            own_pack = F._pack([xs, ys, zs, xns, yns, zns])
+            bnd_pack = F._pack([xs, ys, zs, nxs, nys, nzs, isb_s])
+            ncx, ncy, ncz, wsum, w2sum = boundary_pass(
+                bnd_tables, own_pack, bnd_pack)
+            nlen2 = ncx * ncx + ncy * ncy + ncz * ncz
+            has = nlen2 > 0
+            coef = jnp.where(
+                has,
+                jax.lax.rsqrt(jnp.maximum(nlen2, 1e-30))
+                * w2sum / jnp.maximum(wsum, 1e-30),
+                0.0,
+            )
+            xn = xn + ncx * coef
+            yn = yn + ncy * coef
+            zn = zn + ncz * coef
+            vn_dot = ncx * vax + ncy * vay + ncz * vaz
+            fric = has & (vn_dot < 0)
+            vax = jnp.where(fric, (vax - ncx * vn_dot) * 0.99, vax)
+            vay = jnp.where(fric, (vay - ncy * vn_dot) * 0.99, vay)
+            vaz = jnp.where(fric, (vaz - ncz * vn_dot) * 0.99, vaz)
+
+            if have_mem:
+                ebuf = globalize_elastic(xn, yn, zn)
+                axv = ebuf[0, tri_eid[:, 0]]
+                ayv = ebuf[1, tri_eid[:, 0]]
+                azv = ebuf[2, tri_eid[:, 0]]
+                bxv = ebuf[0, tri_eid[:, 1]]
+                byv = ebuf[1, tri_eid[:, 1]]
+                bzv = ebuf[2, tri_eid[:, 1]]
+                cxv = ebuf[0, tri_eid[:, 2]]
+                cyv = ebuf[1, tri_eid[:, 2]]
+                czv = ebuf[2, tri_eid[:, 2]]
+                ux, uy, uz = bxv - axv, byv - ayv, bzv - azv
+                wx, wy, wz = cxv - axv, cyv - ayv, czv - azv
+                tnx = uy * wz - uz * wy
+                tny = uz * wx - ux * wz
+                tnz = ux * wy - uy * wx
+                tl2 = tnx * tnx + tny * tny + tnz * tnz
+                til = jnp.where(
+                    tl2 > 0, jax.lax.rsqrt(jnp.maximum(tl2, 1e-30)), 0.0)
+                tnx, tny, tnz = tnx * til, tny * til, tnz * til
+                fields = []
+                for tr in range(7):
+                    ti = t_safe[:, tr]
+                    m = t_ok[:, tr]
+                    fields += [
+                        jnp.where(m, tnx[ti], 0.0),
+                        jnp.where(m, tny[ti], 0.0),
+                        jnp.where(m, tnz[ti], 0.0),
+                        jnp.where(m, axv[ti], 0.0),
+                        jnp.where(m, ayv[ti], 0.0),
+                        jnp.where(m, azv[ti], 0.0),
+                    ]
+                tri_mat = jnp.stack(fields, axis=0)      # [42, n_el]
+                mem_pack = jnp.zeros((pk.MEM_COLS, slab_size), jnp.float32)
+                colt = jnp.where(
+                    (el_cols >= 0) & (el_cols < slab_size), el_cols,
+                    slab_size)
+                mem_pack = mem_pack.at[:42, colt].set(tri_mat, mode="drop")
+                mem_pack = mem_pack.at[pk.PMM_XN].set(xns)
+                mem_pack = mem_pack.at[pk.PMM_YN].set(yns)
+                mem_pack = mem_pack.at[pk.PMM_ZN].set(zns)
+                mem_pack = mem_pack.at[pk.PMM_XT].set(xs)
+                mem_pack = mem_pack.at[pk.PMM_YT].set(ys)
+                mem_pack = mem_pack.at[pk.PMM_ZT].set(zs)
+                mnx, mny, mnz, mws, mw2 = membrane_pass(
+                    mem_tables, own_pack, mem_pack)
+                ml2 = mnx * mnx + mny * mny + mnz * mnz
+                mhas = (ml2 > 0) & (
+                    liq_s[own_off:own_off + n_pad_loc] > 0)
+                mcoef = jnp.where(
+                    mhas,
+                    jax.lax.rsqrt(jnp.maximum(ml2, 1e-30))
+                    * mw2 / jnp.maximum(mws, 1e-30),
+                    0.0,
+                )
+                xn = xn + mnx * mcoef
+                yn = yn + mny * mcoef
+                zn = zn + mnz * mcoef
+
+            # pin boundary rows
+            xn = jnp.where(bmask, own_x, xn)
+            yn = jnp.where(bmask, own_y, yn)
+            zn = jnp.where(bmask, own_z, zn)
+            vax = jnp.where(bmask, vxo, vax)
+            vay = jnp.where(bmask, vyo, vay)
+            vaz = jnp.where(bmask, vzo, vaz)
+
+            if layout.muscle_model:
+                act_next = muscle.next_activation(step_no)
+            else:
+                act_next = act
+            return (xn, yn, zn, vax, vay, vaz, act_next, step_no + 1), None
+
+        carry0 = (own_of(xs0), own_of(ys0), own_of(zs0),
+                  own_of(vx0), own_of(vy0), own_of(vz0),
+                  state_l.muscle_activation, state_l.step)
+        carry, _ = jax.lax.scan(inner, carry0, None, length=r_steps)
+        xn, yn, zn, vxn, vyn, vzn, act, step_no = carry
+
+        # ---- re-globalize own rows, unsort, slice original shard ---------
+        def agp(a):  # [n_pad_loc] -> global sorted [cfg.n_pad]
+            return jax.lax.all_gather(a, ax, tiled=True)
+
+        def unsort(a_sorted_g):
+            full = jnp.zeros(n, jnp.float32).at[order].set(a_sorted_g[:n])
+            return jax.lax.dynamic_slice(full, (dev * n_loc,), (n_loc,))
+
+        pos_new = jnp.stack(
+            [unsort(agp(xn)), unsort(agp(yn)), unsort(agp(zn))], axis=1)
+        vel_new = jnp.stack(
+            [unsort(agp(vxn)), unsort(agp(vyn)), unsort(agp(vzn))], axis=1)
+        new_state = FluidState(
+            pos=pos_new, vel=vel_new, ptype=state_l.ptype,
+            normal=state_l.normal, muscle_activation=act, step=step_no,
+        )
+        return new_state, overflow
+
+    r_every = max(1, cfg.resort_every)
+    full, rem = divmod(n_steps, r_every)
+
+    def stepper(state, springs, membranes):
+        ovf = jnp.zeros((), jnp.int32)
+        if full:
+            def body(c, _):
+                s, o = c
+                s2, o2 = sweep(s, springs, membranes, r_every)
+                return (s2, jnp.maximum(o, o2)), None
+
+            (state, ovf), _ = jax.lax.scan(
+                body, (state, ovf), None, length=full)
+        if rem:
+            state, o2 = sweep(state, springs, membranes, rem)
+            ovf = jnp.maximum(ovf, o2)
+        return state, ovf
+
+    state_specs = FluidState(
+        pos=P(ax), vel=P(ax), ptype=P(ax), normal=P(ax),
+        muscle_activation=P(), step=P(),
+    )
+    springs_specs = Springs(row_ids=P(), idx=P(), rest=P(), muscle=P())
+    membranes_specs = Membranes(tris=P(), particle_tris=P())
+    sharded = shard_map(
+        stepper,
+        mesh=mesh,
+        in_specs=(state_specs, springs_specs, membranes_specs),
+        out_specs=(state_specs, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -1,0 +1,81 @@
+"""Halo-exchange sharded fast engine vs single-chip fast engine.
+
+The halo path (parallel/halo.py) exchanges only fixed-capacity edge bands
+via ppermute between resorts; trajectories must match the single-chip fast
+engine to f32 round-off, and the halo_overflow diagnostic must be zero
+(windows fully covered by the halo band).
+"""
+import numpy as np
+import jax
+import pytest
+
+from sph_tpu.config import SimParams
+from sph_tpu.core.fast import compute_fast_config, make_fast_multi_step
+from sph_tpu.parallel import make_mesh, pad_scene_to_devices, shard_state
+from sph_tpu.parallel.halo import make_halo_fast_multi_step
+from sph_tpu.scene import generate_liquid_box_scene, generate_worm_scene
+
+H = 3.34
+
+
+@pytest.fixture(scope="module")
+def n_dev():
+    n = len(jax.devices())
+    if n < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    return n
+
+
+def _run_both(scene, params, n_dev, steps, halo_pad, block=256,
+              resort_every=10):
+    scene = pad_scene_to_devices(scene, n_dev * block)
+    state, springs, membranes = scene.device_state()
+    layout = scene.layout()
+    cfg = compute_fast_config(
+        scene.pos, params, block=block, resort_every=resort_every
+    )
+
+    ref = make_fast_multi_step(params, layout, cfg, steps)(
+        state, springs, membranes
+    )
+
+    mesh = make_mesh(n_dev)
+    run = make_halo_fast_multi_step(
+        mesh, params, layout, cfg, steps, halo_pad=halo_pad
+    )
+    out, overflow = run(shard_state(state, mesh), springs, membranes)
+    return ref, out, int(overflow)
+
+
+def test_halo_matches_fast_box(n_dev):
+    # z-elongated box: slabs are meaningful (a z cell-row holds ~190
+    # particles, well under the 512-row halo band)
+    params = SimParams(x_max=6 * H, y_max=6 * H, z_max=60 * H)
+    scene = generate_liquid_box_scene(params, fill_fraction=0.5)
+    ref, out, overflow = _run_both(
+        scene, params, n_dev, steps=5, halo_pad=512, block=128
+    )
+    assert overflow == 0, "halo band too small for the box scene"
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=0, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.vel), np.asarray(ref.vel), rtol=0, atol=2e-5
+    )
+    assert int(out.step) == 5
+
+
+def test_halo_matches_fast_worm(n_dev):
+    """Full physics (springs + muscles + membranes) under halo sharding,
+    across a resort boundary (steps > resort_every)."""
+    params = SimParams(x_max=20 * H, y_max=12 * H, z_max=110 * H)
+    scene = generate_worm_scene(params)
+    ref, out, overflow = _run_both(
+        scene, params, n_dev, steps=3, halo_pad=2048, block=128,
+        resort_every=2,
+    )
+    assert overflow == 0, "halo band too small for the worm scene"
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(ref.pos), rtol=0, atol=5e-5
+    )
+    assert int(out.step) == 3
