@@ -78,7 +78,15 @@ def cmd_run(args) -> int:
             from .viz import render_frame
 
             out = f"{args.render_dir}/step_{sim.step_count:06d}.png"
-            render_frame(sim.get_position(), scene.ptype, out)
+            render_frame(
+                sim.get_position(), scene.ptype, out,
+                springs=(scene.spring_rows, scene.spring_idx,
+                         scene.spring_type),
+                tris=scene.tris,
+                activation=sim.get_muscle_activation(),
+                hud=True, counts=scene.counts, step=sim.step_count,
+                time_step=params.time_step,
+            )
             print(f"rendered {out}")
     if args.checkpoint:
         sim.save(args.checkpoint)

@@ -132,3 +132,48 @@ def test_overflow_warning_surfaces(caplog):
         out = sim.check_overflow()
     assert out["cell_overflow"] > 0
     assert any("overflow" in r.message for r in caplog.records)
+
+
+def test_render_frame_spring_membrane_hud(tmp_path):
+    """Viz parity overlays (owWorldSimulation.cpp:206-347,501-641): muscle
+    springs widen while active, membranes draw midlines, HUD text block."""
+    import numpy as np
+    from sph_tpu.viz.render import (
+        _hud_text,
+        _membrane_segments,
+        _spring_segments,
+        render_frame,
+    )
+    from sph_tpu.config import SimParams
+    from sph_tpu.scene import generate_worm_scene
+
+    H = 3.34
+    params = SimParams(x_max=14 * H, y_max=12 * H, z_max=108 * H)
+    scene = generate_worm_scene(params)
+    act = np.zeros(96, np.float32)
+    act[0] = 1.0
+
+    out = render_frame(
+        scene.pos, scene.ptype, str(tmp_path / "f.png"),
+        springs=(scene.spring_rows, scene.spring_idx, scene.spring_type),
+        tris=scene.tris, activation=act, hud=True, counts=scene.counts,
+        step=7, time_step=params.time_step,
+    )
+    import os
+    assert os.path.getsize(out) > 10_000
+
+    # activation widens exactly the springs of muscle 1
+    pos2 = scene.pos[:, [2, 1]]
+    springs = (scene.spring_rows, scene.spring_idx, scene.spring_type)
+    _, _, w_on = _spring_segments(pos2, *springs, act)
+    _, _, w_off = _spring_segments(pos2, *springs, np.zeros(96))
+    assert (w_on > w_off).any()
+    n_muscle1 = int((np.floor(scene.spring_type.ravel()) == 1).sum())
+    assert 0 < int((w_on > w_off).sum()) <= n_muscle1
+
+    # membrane midline triangles: 3 segments per triangle
+    msegs = _membrane_segments(pos2, scene.tris)
+    assert len(msegs) == 3 * len(scene.tris)
+
+    hud = _hud_text(scene.counts, 7, params.time_step, act)
+    assert "MDR" in hud and "MDL" in hud and "time step: 7" in hud
