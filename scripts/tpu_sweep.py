@@ -25,16 +25,19 @@ def main():
     state0, springs, membranes = scene.device_state()
     layout = scene.layout()
 
-    configs = [(256, 256)]
+    configs = [(256, 256, 10), (128, 128, 10), (128, 256, 10),
+               (256, 128, 10), (256, 256, 20), (512, 256, 10)]
     if len(sys.argv) >= 3:
-        configs = [(int(sys.argv[1]), int(sys.argv[2]))]
+        configs = [(int(sys.argv[1]), int(sys.argv[2]),
+                    int(sys.argv[4]) if len(sys.argv) >= 5 else 10)]
     chunk = int(sys.argv[3]) if len(sys.argv) >= 4 else 10
 
     def sync(s):
         return float(np.asarray(s.pos[0]).sum())
 
-    for block, ccol in configs:
-        cfg = compute_fast_config(scene.pos, params, block=block, ccol=ccol)
+    for block, ccol, r_every in configs:
+        cfg = compute_fast_config(scene.pos, params, block=block, ccol=ccol,
+                                  resort_every=r_every)
         run = make_fast_multi_step(params, layout, cfg, chunk)
         t0 = time.time()
         state = run(state0, springs, membranes)
@@ -50,7 +53,7 @@ def main():
         ms = wall / (reps * chunk) * 1e3
         pps = n * reps * chunk / wall
         fin = bool(np.isfinite(np.asarray(state.pos)).all())
-        print(f"block={block} ccol={ccol}: compile {compile_s:.1f}s, "
+        print(f"block={block} ccol={ccol} R={r_every}: compile {compile_s:.1f}s, "
               f"{ms:.2f} ms/step, {pps/1e6:.2f}M psteps/s, finite={fin}",
               flush=True)
 

@@ -293,14 +293,29 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
                 muscle=springs.muscle,
             )
 
-        # membrane ids in sorted space + per-block membrane gate
+        # membrane machinery: the membrane pass streams a COMPACT slab of
+        # elastic-only columns (the only particles that carry triangle
+        # data) instead of the full sorted array — ~10x less membrane
+        # work on the worm (43 -> ~5 ms/step measured r2)
         if membranes.n_tris > 0:
             e0, e1 = layout.elastic_range
             pt = membranes.particle_tris[e0:e1]          # [Ne,7]
             ctx["mem_vidx"] = inv[membranes.tris]        # [M,3] sorted rows
-            ctx["mem_pt_ok"] = pt >= 0
-            ctx["mem_pt_safe"] = jnp.maximum(pt, 0)
-            ctx["mem_erows"] = inv[jnp.arange(e0, e1)]
+            el_rows = inv[jnp.arange(e0, e1)]            # sorted row per eid
+            perm = jnp.argsort(el_rows)                  # compact col order
+            ctx["mem_els"] = el_rows[perm]               # ascending rows
+            ctx["mem_pt_ok"] = pt[perm] >= 0
+            ctx["mem_pt_safe"] = jnp.maximum(pt[perm], 0)
+            # window tables in compact coordinates (chunks stay disjoint
+            # and ascending under searchsorted)
+            lo_c = jnp.searchsorted(ctx["mem_els"], lo_t).astype(jnp.int32)
+            hi_c = jnp.searchsorted(ctx["mem_els"], hi_t).astype(jnp.int32)
+            aln_c = (lo_c // ALIGN) * ALIGN
+            nsub = jnp.where(
+                hi_c > aln_c, -((aln_c - hi_c) // cfg.ccol), 0
+            ).astype(jnp.int32).reshape(cfg.n_blocks, 3)
+            s0_m = (jnp.cumsum(nsub, axis=1) - nsub).reshape(-1)
+            cnt_m = nsub.sum(axis=1)
             has_mem_orig = jnp.zeros(n, jnp.float32).at[
                 jnp.arange(e0, e1)
             ].set((pt >= 0).any(axis=1).astype(jnp.float32))
@@ -318,7 +333,7 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
             )
             flags = chunk_mem & own_liq
             ctx["mem_tables"] = (
-                aln_t, lo_t, hi_t, s0_t, jnp.where(flags, cnt_t, 0), ob_t,
+                aln_c, lo_c, hi_c, s0_m, jnp.where(flags, cnt_m, 0), ob_t,
             )
         return ctx
 
@@ -481,15 +496,24 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
                     jnp.where(m, ax_[ti], 0.0), jnp.where(m, ay_[ti], 0.0),
                     jnp.where(m, az_[ti], 0.0),
                 ]
-            tri_mat = jnp.stack(fields, axis=0)          # [42, Ne]
-            mem_pack = jnp.zeros((pk.MEM_COLS, cfg.n_alloc), jnp.float32)
-            mem_pack = mem_pack.at[:42, ctx["mem_erows"]].set(tri_mat)
-            mem_pack = mem_pack.at[pk.PMM_XN].set(_pad_field(xn, cfg, far))
-            mem_pack = mem_pack.at[pk.PMM_YN].set(_pad_field(yn, cfg, far))
-            mem_pack = mem_pack.at[pk.PMM_ZN].set(_pad_field(zn, cfg, far))
-            mem_pack = mem_pack.at[pk.PMM_XT].set(xs)
-            mem_pack = mem_pack.at[pk.PMM_YT].set(ys)
-            mem_pack = mem_pack.at[pk.PMM_ZT].set(zs)
+            tri_mat = jnp.stack(fields, axis=0)          # [42, n_el]
+            # compact membrane slab: elastic columns only, in sorted order
+            els = ctx["mem_els"]
+            n_el = els.shape[0]
+            mcap = -(-n_el // ALIGN) * ALIGN + cfg.ccol
+
+            def mrow(a, fill):
+                v = a[els]
+                return jnp.full((mcap,), fill, jnp.float32).at[:n_el].set(v)
+
+            mem_pack = jnp.zeros((pk.MEM_COLS, mcap), jnp.float32)
+            mem_pack = mem_pack.at[:42, :n_el].set(tri_mat)
+            mem_pack = mem_pack.at[pk.PMM_XN].set(mrow(xn, far))
+            mem_pack = mem_pack.at[pk.PMM_YN].set(mrow(yn, far))
+            mem_pack = mem_pack.at[pk.PMM_ZN].set(mrow(zn, far))
+            mem_pack = mem_pack.at[pk.PMM_XT].set(mrow(xs, far))
+            mem_pack = mem_pack.at[pk.PMM_YT].set(mrow(ys, far))
+            mem_pack = mem_pack.at[pk.PMM_ZT].set(mrow(zs, far))
 
             mnx, mny, mnz, mws, mw2 = membrane_pass(
                 ctx["mem_tables"], own_pack, mem_pack,

@@ -460,7 +460,10 @@ def make_membrane_pass(*, block, ccol, n_blocks, inv_h2, r0,
     def tile(own, slab, ctx, accs):
         oc = own["oc"]
         q2t, _, _, _ = _q2_of(oc, slab, inv_h2, row0=PMM_XT)
-        ok = ctx["base"] & (ctx["colg"] != ctx["own_gid"]) & (q2t <= 1.0)
+        # no self-exclusion: the slab is the COMPACT elastic array (its
+        # column ids are not own-row ids), and own rows that receive the
+        # correction are liquid-masked by the caller anyway
+        ok = ctx["base"] & (q2t <= 1.0)
 
         xno, yno, zno = oc[3], oc[4], oc[5]
         # per-triangle side signs: s = nt . (xn_own - at); nt == 0 rows
