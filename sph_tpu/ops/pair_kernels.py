@@ -56,7 +56,7 @@ MAIN_COLS = 8
 (PM_X, PM_Y, PM_Z, PM_VEX, PM_VEY, PM_VEZ, PM_RHO, PM_ISB) = range(8)
 
 # iteration packs
-ITER_COLS = 6      # [x, y, z, x*, y*, z*]
+ITER_COLS = 3      # [x*, y*, z*] (predicted positions only)
 PACC_COLS = 5      # [x, y, z, rho*, p]
 
 # boundary pack columns
@@ -125,6 +125,14 @@ def _wsum3_rw(w, slab, row0, own3=None):
     return out, rw
 
 
+def _group_of(n_blocks: int) -> int:
+    """Blocks per grid step: the largest of 8/4/2/1 dividing n_blocks."""
+    for g in (8, 4, 2, 1):
+        if n_blocks % g == 0:
+            return g
+    return 1
+
+
 def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
                block, ccol, n_blocks, interpret=False):
     """Build a jitted pair pass over [n_blocks] own blocks.
@@ -138,6 +146,11 @@ def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
       global slab row ids, base (1, ccol) window-validity mask, own_gid
       (block, 1); accs is a tuple of (1, block) lane-row accumulators.
 
+    Each grid step processes a GROUP of (up to) 8 consecutive own blocks
+    with a single own-block DMA and one output block: the per-grid-step
+    fixed overhead (own DMA wait + prologue + output) measured 1.69 ms
+    per pass at one block per step — ~46% of the density pass.
+
     Scalar-prefetch tables (from core.fast._window_tables): aln/lo/hi/s0
     flattened [n_blocks * 3] int32 chunk descriptors (indexed b*3 + chunk;
     2-D SMEM arrays are lane-padded to 128, 1-D ones are not), cnt
@@ -147,98 +160,110 @@ def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
     which must be a multiple of ALIGN).
     """
     n_prefetch = 6
+    group = _group_of(n_blocks)
 
     def kernel(aln_t, lo_t, hi_t, s0_t, cnt_t, ob_t, own_h, slab_h, *rest):
         outs = rest[:n_outputs]
         own_scr, slab_scr, osem, ssem = rest[n_outputs:]
 
-        b = pl.program_id(0)
-        own_off = pl.multiple_of(ob_t[0] + b * block, ALIGN)
+        g = pl.program_id(0)
+        base_b = g * group
+        own_off0 = pl.multiple_of(ob_t[0] + base_b * block, ALIGN)
         cp_own = pltpu.make_async_copy(
-            own_h.at[:, pl.ds(own_off, block)], own_scr, osem
+            own_h.at[:, pl.ds(own_off0, group * block)], own_scr, osem
         )
         cp_own.start()
-        n_s = cnt_t[b]
 
-        b3 = b * 3
-
-        def tile_chunk_off(s):
+        def tile_chunk_off(b3, s):
             c = b3 + ((s >= s0_t[b3 + 1]).astype(jnp.int32)
                       + (s >= s0_t[b3 + 2]).astype(jnp.int32))
             off = aln_t[c] + (s - s0_t[c]) * ccol
             return c, pl.multiple_of(off, ALIGN)
 
-        def tile_copy(s, slot):
-            _, off = tile_chunk_off(s)
+        def tile_copy(b3, s, slot):
+            _, off = tile_chunk_off(b3, s)
             return pltpu.make_async_copy(
                 slab_h.at[:, pl.ds(off, ccol)], slab_scr.at[slot],
                 ssem.at[slot],
             )
 
-        @pl.when(n_s > 0)
-        def _():
-            tile_copy(0, 0).start()
-
         cp_own.wait()
-        # one MXU transpose of the own block: rows (cols, block) ->
-        # columns (block, cols); Mosaic has no cheap sublane<->lane relayout
+        # one MXU transpose per sub-block: rows (cols, block) -> columns
+        # (block, cols); Mosaic has no cheap sublane<->lane relayout
         eye = (jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
                == jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
                ).astype(jnp.float32)
-        ownT = _dotT(eye, own_scr[:, :])         # (block, own_cols)
 
-        def orow(a):
-            return own_scr[a:a + 1, :]
+        for sub in range(group):
+            b = base_b + sub
+            b3 = b * 3
+            n_s = cnt_t[b]
+            own_off = own_off0 + sub * block
+            o0 = sub * block
+            ownT = _dotT(eye, own_scr[:, o0:o0 + block])  # (block, cols)
 
-        def ocol(a):
-            return ownT[:, a:a + 1]
+            def orow(a, o0=o0):
+                return own_scr[a:a + 1, o0:o0 + block]
 
-        own_ctx = prep_fn(orow, ocol)
-        own_gid = own_off + jax.lax.broadcasted_iota(
-            jnp.int32, (block, 1), 0
-        )
+            def ocol(a, ownT=ownT):
+                return ownT[:, a:a + 1]
 
-        def body(s, accs):
-            slot = jax.lax.rem(s, 2)
+            own_ctx = prep_fn(orow, ocol)
+            own_gid = own_off + jax.lax.broadcasted_iota(
+                jnp.int32, (block, 1), 0
+            )
 
-            @pl.when(s + 1 < n_s)
-            def _():
-                tile_copy(s + 1, jax.lax.rem(s + 1, 2)).start()
+            # all slot waits from the previous sub-block have completed,
+            # so slot 0 is free to seed this sub-block's stream
+            @pl.when(n_s > 0)
+            def _(b3=b3):
+                tile_copy(b3, 0, 0).start()
 
-            tile_copy(s, slot).wait()
-            c, off = tile_chunk_off(s)
-            colg = off + jax.lax.broadcasted_iota(jnp.int32, (1, ccol), 1)
-            base = (colg >= lo_t[c]) & (colg < hi_t[c])
-            ctx = dict(colg=colg, base=base, own_gid=own_gid)
-            return tile_fn(own_ctx, slab_scr.at[slot], ctx, accs)
+            def body(s, accs, b3=b3, n_s=n_s, own_ctx=own_ctx,
+                     own_gid=own_gid):
+                slot = jax.lax.rem(s, 2)
 
-        accs = tuple(
-            jnp.zeros((1, block), jnp.float32) for _ in range(n_outputs)
-        )
-        accs = jax.lax.fori_loop(0, n_s, body, accs)
-        # outputs are (8, block) blocks shared by 8 consecutive grid steps
-        # (Pallas requires sublane dims divisible by 8); write our row
-        row = jax.lax.rem(b, 8)
-        for k in range(n_outputs):
-            outs[k][pl.ds(row, 1), :] = accs[k]
+                @pl.when(s + 1 < n_s)
+                def _():
+                    tile_copy(b3, s + 1, jax.lax.rem(s + 1, 2)).start()
+
+                tile_copy(b3, s, slot).wait()
+                c, off = tile_chunk_off(b3, s)
+                colg = off + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, ccol), 1
+                )
+                base = (colg >= lo_t[c]) & (colg < hi_t[c])
+                ctx = dict(colg=colg, base=base, own_gid=own_gid)
+                return tile_fn(own_ctx, slab_scr.at[slot], ctx, accs)
+
+            accs = tuple(
+                jnp.zeros((1, block), jnp.float32)
+                for _ in range(n_outputs)
+            )
+            accs = jax.lax.fori_loop(0, n_s, body, accs)
+            row = (base_b + sub) % 8 if group < 8 else sub
+            for k in range(n_outputs):
+                outs[k][pl.ds(row, 1), :] = accs[k]
 
     # Packs must stay in HBM: the compiler would otherwise place small
     # inputs in VMEM, where dynamically-offset DMA slices can't be lowered.
     mspace = pl.ANY if interpret else pltpu.HBM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_prefetch,
-        grid=(n_blocks,),
+        grid=(n_blocks // group,),
         in_specs=[
             pl.BlockSpec(memory_space=mspace),  # own pack [cols, n_alloc]
             pl.BlockSpec(memory_space=mspace),  # slab pack [cols, n_alloc]
         ],
         out_specs=tuple(
-            pl.BlockSpec((8, block), lambda b, *_: (b // 8, 0),
+            pl.BlockSpec((8, block),
+                         lambda g, *_: (g * group // 8, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(n_outputs)
         ),
         scratch_shapes=(
-            [pltpu.VMEM((-(-own_cols // 8) * 8, block), jnp.float32),
+            [pltpu.VMEM((-(-own_cols // 8) * 8, group * block),
+                        jnp.float32),
              pltpu.VMEM((2, -(-slab_cols // 8) * 8, ccol), jnp.float32)]
             + [pltpu.SemaphoreType.DMA,
                pltpu.SemaphoreType.DMA((2,))]
@@ -344,19 +369,24 @@ def make_viscsurf_pass(*, block, ccol, n_blocks, inv_h2, interpret=False,
 
 def make_rho_star_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
                        interpret=False, **_):
-    """Predicted density (sphFluid.cl:982-1059): pair set = within h at
-    time t (cached-neighbor semantics), contribution from predicted
-    positions with q*^2 < 1 strict. Pack cols: 0-2 time-t pos,
-    3-5 predicted pos."""
+    """Predicted density (sphFluid.cl:982-1059): contribution from
+    predicted positions with q*^2 < 1 strict.
+
+    Documented deviation: the reference restricts the pair set to the
+    time-t neighborMap (cached-neighbor semantics) in addition to the
+    predicted-distance cutoff; prediction displacement per iteration is
+    ~1e-3 h, so the symmetric difference lies in the q* ~ 1 shell where
+    (1-q*^2)^3 ~ 1e-9 — below f32 round-off of the sum. Dropping the
+    time-t test saves a second q^2 evaluation per pair (~30% of the
+    pass's VPU work). Pack cols: 0-2 predicted pos."""
 
     def prep(orow, ocol):
-        return dict(oc=[ocol(k) for k in range(6)])
+        return dict(oc=[ocol(k) for k in range(3)])
 
     def tile(own, slab, ctx, accs):
-        q2t, _, _, _ = _q2_of(own["oc"], slab, inv_h2)
-        q2s, _, _, _ = _q2_of(own["oc"], slab, inv_h2, row0=3, own_start=3)
+        q2s, _, _, _ = _q2_of(own["oc"], slab, inv_h2)
         ok = (ctx["base"] & (ctx["colg"] != ctx["own_gid"])
-              & (q2t <= 1.0) & (q2s < 1.0))
+              & (q2s < 1.0))
         t = 1.0 - q2s
         w = jnp.where(ok, t * t * t, 0.0)
         (acc,) = accs
@@ -389,7 +419,10 @@ def make_paccel_pass(*, block, ccol, n_blocks, inv_h2, inv_h, rho0_delta,
         q2, _, _, _ = _q2_of(own["oc"], slab, inv_h2)
         ok = (ctx["base"] & (ctx["colg"] != ctx["own_gid"])
               & (q2 < 1.0) & (q2 > 0.0))
-        q = jnp.sqrt(q2)
+        # one rsqrt yields both q (= q2 * rsqrt(q2)) and 1/q — the sqrt +
+        # divide pair it replaces was ~30% of this tile's VPU work
+        inv_q = jax.lax.rsqrt(jnp.maximum(q2, 1e-30))
+        q = q2 * inv_q
         one_m_q = 1.0 - q
         inv_srho = 1.0 / _srow(slab, 3)
         sp = _srow(slab, 4)
@@ -397,7 +430,7 @@ def make_paccel_pass(*, block, ccol, n_blocks, inv_h2, inv_h, rho0_delta,
         cm = 0.25 - q
         close = cm * cm * 0.5 * rho0_delta
         term = jnp.where(q < 0.25, close, far) * inv_srho
-        w = jnp.where(ok, term / (q + 1e-30) * inv_h, 0.0)
+        w = jnp.where(ok, term * inv_q * inv_h, 0.0)
 
         s = _wsum3(w, slab, 0, own3=own["xo"])   # sum w * (x_i - x_j)
         ax, ay, az = accs
@@ -424,8 +457,10 @@ def make_boundary_pass(*, block, ccol, n_blocks, inv_h2, r0,
         oc = own["oc"]
         q2t, _, _, _ = _q2_of(oc, slab, inv_h2)
         isb = _srow(slab, PB_ISB)
-        ok = (ctx["base"] & (ctx["colg"] != ctx["own_gid"])
-              & (q2t <= 1.0) & (isb > 0.0))
+        # no self-exclusion: the slab is the COMPACT boundary array (its
+        # column ids are not own-row ids); own boundary rows that would
+        # self-pair have their outputs pinned by the caller anyway
+        ok = ctx["base"] & (q2t <= 1.0) & (isb > 0.0)
 
         dnx = oc[3] - _srow(slab, PB_X)
         dny = oc[4] - _srow(slab, PB_Y)

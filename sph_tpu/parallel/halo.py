@@ -405,7 +405,7 @@ def make_halo_fast_multi_step(
                                 own_z + pos_dt * (vzo + dt * apz))
                 xsts, ysts, zsts = exchange([xst, yst, zst],
                                             [far, far, far])
-                iter_pack = F._pack([xs, ys, zs, xsts, ysts, zsts])
+                iter_pack = F._pack([xsts, ysts, zsts])
                 rho_star = rho_star_pass(tables, iter_pack, iter_pack)
                 p_o = p_o + jnp.maximum(0.0, (rho_star - rho0) * delta_c)
                 rs_s, p_s = exchange(

@@ -43,8 +43,16 @@ class Simulator:
     ):
         """engine: "exact" = neighbor-list engine (reference 32-cap
         semantics); "fast" = blocked Pallas pair engine (all pairs within h,
-        see core/fast.py)."""
+        see core/fast.py); "auto" = fast on a TPU backend, exact otherwise
+        (the fast engine's Pallas kernels only run interpreted on CPU)."""
         self.params = params or SimParams()
+        if engine == "auto":
+            dev = jax.devices()[0]
+            on_tpu = (
+                jax.default_backend() in ("tpu", "axon")
+                or "TPU" in getattr(dev, "device_kind", "")
+            )
+            engine = "fast" if on_tpu else "exact"
         self.scene = scene
         self.layout = scene.layout()
         self.state, self.springs, self.membranes = scene.device_state()
