@@ -165,6 +165,12 @@ def _pad_field(a, cfg: FastConfig, fill=0.0):
     )
 
 
+def _pack_rows(mat):
+    """Pad a [rows, width] matrix to the 8-sublane tile."""
+    pad = -mat.shape[0] % 8
+    return jnp.pad(mat, ((0, pad), (0, 0))) if pad else mat
+
+
 def _pack(fields):
     """Column-major [cols, n_alloc] field pack (rows padded to the
     8-sublane tile): slab tiles AND own blocks are aligned column-window
@@ -202,6 +208,11 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
     )
     boundary_pass = pk.make_boundary_pass(r0=r0, **kw)
     membrane_pass = pk.make_membrane_pass(r0=r0, **kw)
+    spring_pass = pk.make_spring_pass(
+        inv_h=inv_h,
+        h_scale=np.float32(params.h * params.simulation_scale),
+        k_spring=np.float32(params.k_spring), **kw,
+    )
 
     n = cfg.n_particles
     nx, ny, nz = cfg.dims
@@ -333,8 +344,64 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
             not_b=(isb_s[: cfg.n_pad] == 0).astype(jnp.float32),
         )
 
-        # springs translated to sorted row space (rebuilt each resort)
-        if springs.n_elastic > 0:
+        # ---- compact elastic slab machinery (springs + membranes both
+        # stream elastic-only columns; the full sorted array is ~23x
+        # larger on the worm) ----
+        have_springs = springs.n_elastic > 0
+        have_mem = membranes.n_tris > 0
+        if have_springs or have_mem:
+            e0, e1 = layout.elastic_range
+            n_el = e1 - e0
+            el_rows = inv[jnp.arange(e0, e1)]            # sorted row per eid
+            perm = jnp.argsort(el_rows)                  # compact col order
+            els = el_rows[perm]                          # ascending rows
+            ctx["els"] = els
+            # window tables in compact coordinates (chunks stay disjoint
+            # and ascending under searchsorted)
+            lo_c = jnp.searchsorted(els, lo_t).astype(jnp.int32)
+            hi_c = jnp.searchsorted(els, hi_t).astype(jnp.int32)
+            aln_c = (lo_c // ALIGN) * ALIGN
+            nsub_c = jnp.where(
+                hi_c > aln_c, -((aln_c - hi_c) // cfg.ccol), 0
+            ).astype(jnp.int32).reshape(cfg.n_blocks, 3)
+            s0_c = (jnp.cumsum(nsub_c, axis=1) - nsub_c).reshape(-1)
+            cnt_c = nsub_c.sum(axis=1)
+
+        # springs as a pair pass over the compact slab: each compact
+        # column j carries its 32 spring-partner sorted ids + rest
+        # lengths (static per resort) and per-step activation terms
+        if have_springs and layout.springs_elastic_only:
+            mcap = -(-n_el // ALIGN) * ALIGN + cfg.ccol
+            rmap = jnp.full(n, -1, jnp.int32).at[springs.row_ids].set(
+                jnp.arange(springs.n_elastic, dtype=jnp.int32)
+            )
+            r_of_col = rmap[e0 + perm]                   # [n_el]
+            r_safe = jnp.maximum(r_of_col, 0)
+            sidx = jnp.where(
+                (r_of_col >= 0)[:, None], springs.idx[r_safe], -1
+            )                                            # [n_el,32] orig ids
+            idx_f = jnp.where(
+                sidx >= 0,
+                inv[jnp.maximum(sidx, 0)].astype(jnp.float32), -1.0,
+            )
+            rest_c = jnp.where(sidx >= 0, springs.rest[r_safe], 0.0)
+            ctx["spr_static"] = jnp.zeros((64, mcap), jnp.float32).at[
+                :, :n_el
+            ].set(jnp.concatenate([idx_f.T, rest_c.T], axis=0))
+            ctx["spr_mid"] = jnp.where(
+                sidx >= 0, springs.muscle[r_safe], 0
+            )                                            # [n_el,32]
+            # gate: own block contains at least one elastic row
+            own_el = (
+                jnp.zeros(cfg.n_pad, jnp.float32).at[els].set(1.0)
+                .reshape(cfg.n_blocks, cfg.block).max(axis=1) > 0
+            )
+            ctx["spr_tables"] = (
+                aln_c, lo_c, hi_c, s0_c, jnp.where(own_el, cnt_c, 0), ob_t,
+            )
+        elif have_springs:
+            # general fallback (springs anchored outside the elastic
+            # block): translate to sorted row space and gather in XLA
             sidx = springs.idx
             ctx["springs_s"] = Springs(
                 row_ids=inv[springs.row_ids],
@@ -343,29 +410,13 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
                 muscle=springs.muscle,
             )
 
-        # membrane machinery: the membrane pass streams a COMPACT slab of
-        # elastic-only columns (the only particles that carry triangle
-        # data) instead of the full sorted array — ~10x less membrane
-        # work on the worm (43 -> ~5 ms/step measured r2)
-        if membranes.n_tris > 0:
-            e0, e1 = layout.elastic_range
+        # membrane machinery: the membrane pass streams the compact slab
+        # too — ~10x less membrane work on the worm (43 -> ~6 ms/step)
+        if have_mem:
             pt = membranes.particle_tris[e0:e1]          # [Ne,7]
             ctx["mem_vidx"] = inv[membranes.tris]        # [M,3] sorted rows
-            el_rows = inv[jnp.arange(e0, e1)]            # sorted row per eid
-            perm = jnp.argsort(el_rows)                  # compact col order
-            ctx["mem_els"] = el_rows[perm]               # ascending rows
             ctx["mem_pt_ok"] = pt[perm] >= 0
             ctx["mem_pt_safe"] = jnp.maximum(pt[perm], 0)
-            # window tables in compact coordinates (chunks stay disjoint
-            # and ascending under searchsorted)
-            lo_c = jnp.searchsorted(ctx["mem_els"], lo_t).astype(jnp.int32)
-            hi_c = jnp.searchsorted(ctx["mem_els"], hi_t).astype(jnp.int32)
-            aln_c = (lo_c // ALIGN) * ALIGN
-            nsub = jnp.where(
-                hi_c > aln_c, -((aln_c - hi_c) // cfg.ccol), 0
-            ).astype(jnp.int32).reshape(cfg.n_blocks, 3)
-            s0_m = (jnp.cumsum(nsub, axis=1) - nsub).reshape(-1)
-            cnt_m = nsub.sum(axis=1)
             has_mem_orig = jnp.zeros(n, jnp.float32).at[
                 jnp.arange(e0, e1)
             ].set((pt >= 0).any(axis=1).astype(jnp.float32))
@@ -383,7 +434,7 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
             )
             flags = chunk_mem & own_liq
             ctx["mem_tables"] = (
-                aln_c, lo_c, hi_c, s0_m, jnp.where(flags, cnt_m, 0), ob_t,
+                aln_c, lo_c, hi_c, s0_c, jnp.where(flags, cnt_c, 0), ob_t,
             )
         return ctx
 
@@ -434,7 +485,43 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
         aez = (c_visc * vz / own_rho + c_surf * stz + gz) * not_b
 
         # ---- elastic + muscle forces (sorted-space gather/scatter) ----
-        if "springs_s" in ctx:
+        if "spr_static" in ctx:
+            els = ctx["els"]
+            n_el = els.shape[0]
+            mcap = ctx["spr_static"].shape[1]
+            # per-slot activation force term via one-hot contraction
+            # (a gather from the 96-entry table costs ~15 ns/elem)
+            mid = ctx["spr_mid"]
+            oh = (
+                mid[:, :, None]
+                == jnp.arange(1, 97, dtype=mid.dtype)
+            ).astype(jnp.float32)
+            actf = jnp.einsum(
+                "nsm,m->ns", oh,
+                act[:96] * np.float32(params.muscle_force),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            actf_p = jnp.zeros((32, mcap), jnp.float32).at[:, :n_el].set(
+                actf.T
+            )
+
+            def crow(a):
+                return jnp.full((mcap,), far, jnp.float32).at[:n_el].set(
+                    a[els]
+                )
+
+            spr_pack = _pack_rows(jnp.concatenate([
+                jnp.stack([crow(xs), crow(ys), crow(zs)], axis=0),
+                ctx["spr_static"], actf_p,
+            ], axis=0))
+            sfx, sfy, sfz = spring_pass(
+                ctx["spr_tables"], main1, spr_pack
+            )
+            aex = aex + sfx
+            aey = aey + sfy
+            aez = aez + sfz
+        elif "springs_s" in ctx:
             sp = ctx["springs_s"]
             pos_sorted = vec3.V3(xs[:n], ys[:n], zs[:n])
             ae = elastic_accel(pos_sorted, sp, act, params)
@@ -546,7 +633,7 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
                 ]
             tri_mat = jnp.stack(fields, axis=0)          # [42, n_el]
             # compact membrane slab: elastic columns only, in sorted order
-            els = ctx["mem_els"]
+            els = ctx["els"]
             n_el = els.shape[0]
             mcap = -(-n_el // ALIGN) * ALIGN + cfg.ccol
 

@@ -52,6 +52,10 @@ class SceneLayout:
     elastic_range: tuple[int, int] = (0, 0)
     boundary_range: tuple[int, int] = (0, 0)
     muscle_model: bool = False  # drive activations from the wave model
+    # every spring endpoint lies in elastic_range (true for the generated
+    # worm; loaded scenes may also anchor springs to boundary particles,
+    # which the fast engine's compact spring pass cannot represent)
+    springs_elastic_only: bool = True
 
     @property
     def n_liquid(self) -> int:

@@ -441,6 +441,66 @@ def make_paccel_pass(*, block, ccol, n_blocks, inv_h2, inv_h, rho0_delta,
                       ccol=ccol, n_blocks=n_blocks, interpret=interpret)
 
 
+# spring pack rows: 0-2 elastic positions, 3..34 neighbor sorted ids
+# (f32, -1 pad), 35..66 rest lengths (m), 67..98 activation force terms
+SPR_COLS = 99
+SPR_IDX0, SPR_REST0, SPR_ACTF0 = 3, 35, 67
+
+
+def make_spring_pass(*, block, ccol, n_blocks, inv_h, h_scale, k_spring,
+                     interpret=False, **_):
+    """Elastic + muscle spring forces as a pair pass over the COMPACT
+    elastic slab (sphFluid.cl:709-815), replacing the [Ne,32] XLA
+    position gathers (measured ~7.5 ms/step on the worm).
+
+    The slab lists each elastic particle j's spring partners as sorted row
+    ids; a pair (own i, slab j) matches when i appears in j's list (the
+    graph is symmetric). Matching uses NO radius cutoff — only the window
+    mask — so a spring is dropped only if it stretches+drifts beyond the
+    one-cell window margin (strain far beyond physical validity; the SPH
+    pair cutoff loses pairs orders of magnitude sooner).
+
+    Own pack = the main pack (positions at rows 0-2). Outputs (ax, ay, az)
+    in scaled-SI acceleration units.
+    """
+
+    def prep(orow, ocol):
+        return dict(oc=[ocol(k) for k in range(3)],
+                    xo=[orow(k) for k in range(3)])
+
+    def tile(own, slab, ctx, accs):
+        # dx etc. in sim units; q2 = dist^2 / h^2
+        dx = own["oc"][0] - _srow(slab, 0)
+        dy = own["oc"][1] - _srow(slab, 1)
+        dz = own["oc"][2] - _srow(slab, 2)
+        q2 = (dx * dx + dy * dy + dz * dz) * (inv_h * inv_h)
+        own_gid_f = ctx["own_gid"].astype(jnp.float32)
+
+        msum = jnp.zeros_like(q2)
+        rest_acc = jnp.zeros_like(q2)
+        actf_acc = jnp.zeros_like(q2)
+        for s in range(32):
+            m = (_srow(slab, SPR_IDX0 + s) == own_gid_f).astype(jnp.float32)
+            msum = msum + m
+            rest_acc = rest_acc + m * _srow(slab, SPR_REST0 + s)
+            actf_acc = actf_acc + m * _srow(slab, SPR_ACTF0 + s)
+
+        inv_q = jax.lax.rsqrt(jnp.maximum(q2, 1e-30))
+        r_m = q2 * inv_q * h_scale                  # r in meters
+        coef = -(r_m * msum - rest_acc) * k_spring - actf_acc
+        ok = ctx["base"] & (msum > 0.0) & (q2 > 0.0)
+        # accel = (x_i - x_j)_m / r_m * coef; on sim-unit dx that is
+        # dx * coef * rsqrt(q2) / h
+        w = jnp.where(ok, coef * inv_q * inv_h, 0.0)
+        s3 = _wsum3(w, slab, 0, own3=own["xo"])
+        ax, ay, az = accs
+        return ax + s3[0], ay + s3[1], az + s3[2]
+
+    return _make_pass(prep, tile, own_cols=MAIN_COLS, slab_cols=SPR_COLS,
+                      n_outputs=3, block=block, ccol=ccol,
+                      n_blocks=n_blocks, interpret=interpret)
+
+
 def make_boundary_pass(*, block, ccol, n_blocks, inv_h2, r0,
                        interpret=False, **_):
     """Ihmsen boundary-response pair sums (sphFluid.cl:824-887).

@@ -90,7 +90,19 @@ class Scene:
             elastic_range=_contiguous_range(t, ELASTIC_PARTICLE),
             boundary_range=_contiguous_range(t, BOUNDARY_PARTICLE),
             muscle_model=self.muscle_model,
+            springs_elastic_only=self._springs_elastic_only(),
         )
+
+    def _springs_elastic_only(self) -> bool:
+        if not len(self.spring_rows):
+            return True
+        e0, e1 = _contiguous_range(self.ptype, ELASTIC_PARTICLE)
+        idx = self.spring_idx
+        used = idx[idx >= 0]
+        rows_ok = bool(
+            ((self.spring_rows >= e0) & (self.spring_rows < e1)).all()
+        )
+        return rows_ok and bool(((used >= e0) & (used < e1)).all())
 
     def particle_tris(self) -> np.ndarray:
         """Invert ``tris`` into the per-particle membrane list
