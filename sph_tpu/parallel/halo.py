@@ -57,7 +57,7 @@ def make_halo_fast_multi_step(
     layout: SceneLayout,
     cfg: F.FastConfig,
     n_steps: int = 1,
-    halo_pad: int = 4096,
+    halo_pad: int | None = None,
 ):
     """Jitted run(state, springs, membranes) -> (state, halo_overflow).
 
@@ -70,6 +70,11 @@ def make_halo_fast_multi_step(
     """
     ax = PARTICLE_AXIS
     ndev = mesh.devices.size
+    if halo_pad is None:
+        # default: 4096 rows, clamped to the per-device row count (the
+        # halo_overflow diagnostic reports if physics needs more)
+        per_dev = (cfg.n_blocks // max(ndev, 1)) * cfg.block
+        halo_pad = max(ALIGN, min(4096, (per_dev // ALIGN) * ALIGN))
     assert halo_pad % ALIGN == 0
     n = cfg.n_particles
     assert n % (ndev * cfg.block) == 0, (

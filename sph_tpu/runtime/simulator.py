@@ -43,8 +43,11 @@ class Simulator:
     ):
         """engine: "exact" = neighbor-list engine (reference 32-cap
         semantics); "fast" = blocked Pallas pair engine (all pairs within h,
-        see core/fast.py); "auto" = fast on a TPU backend, exact otherwise
-        (the fast engine's Pallas kernels only run interpreted on CPU)."""
+        see core/fast.py); "halo" = the fast engine sharded over all
+        visible devices with ppermute halo exchange (parallel/halo.py;
+        pads the scene to the device grid); "auto" = fast on a TPU
+        backend, exact otherwise (the fast engine's Pallas kernels only
+        run interpreted on CPU)."""
         self.params = params or SimParams()
         if engine == "auto":
             dev = jax.devices()[0]
@@ -53,12 +56,28 @@ class Simulator:
                 or "TPU" in getattr(dev, "device_kind", "")
             )
             engine = "fast" if on_tpu else "exact"
+        if engine == "halo":
+            from ..core.fast import compute_fast_config
+            from ..parallel import make_mesh, pad_scene_to_devices
+
+            self._mesh = make_mesh()
+            ndev = self._mesh.devices.size
+            self._fast_cfg = compute_fast_config(scene.pos, self.params)
+            scene = pad_scene_to_devices(
+                scene, ndev * self._fast_cfg.block
+            )
+            self._fast_cfg = compute_fast_config(scene.pos, self.params)
         self.scene = scene
         self.layout = scene.layout()
         self.state, self.springs, self.membranes = scene.device_state()
         self.engine = engine
         self._fast_runs = {}
-        if engine == "fast":
+        if engine == "halo":
+            from ..parallel import shard_state
+
+            self.state = shard_state(self.state, self._mesh)
+            self._fast_chunk = max(1, self._fast_cfg.resort_every)
+        elif engine == "fast":
             from ..core.fast import compute_fast_config
 
             self._fast_cfg = compute_fast_config(scene.pos, self.params)
@@ -96,15 +115,29 @@ class Simulator:
 
     def _fast_run_for(self, n: int):
         if n not in self._fast_runs:
-            from ..core.fast import make_fast_multi_step
+            if self.engine == "halo":
+                from ..parallel import make_halo_fast_multi_step
 
-            self._fast_runs[n] = make_fast_multi_step(
-                self.params, self.layout, self._fast_cfg, n
-            )
+                halo_run = make_halo_fast_multi_step(
+                    self._mesh, self.params, self.layout, self._fast_cfg, n
+                )
+
+                def run(state, springs, membranes, _h=halo_run):
+                    out, overflow = _h(state, springs, membranes)
+                    self._halo_overflow = overflow
+                    return out
+
+                self._fast_runs[n] = run
+            else:
+                from ..core.fast import make_fast_multi_step
+
+                self._fast_runs[n] = make_fast_multi_step(
+                    self.params, self.layout, self._fast_cfg, n
+                )
         return self._fast_runs[n]
 
     def _run(self, n: int):
-        if self.engine == "fast":
+        if self.engine in ("fast", "halo"):
             # compile at most two graphs (a chunk-sized scan + a
             # single-step) regardless of how n varies across calls —
             # round-1 keyed a fresh ~minute-long compile on every distinct
@@ -158,6 +191,10 @@ class Simulator:
                 - self.params.cell_capacity)
             if self.engine == "exact" else 0
         )
+        if self.engine == "halo":
+            out["halo_overflow"] = int(
+                getattr(self, "_halo_overflow", 0)
+            )
         bad = {k: v for k, v in out.items() if v > 0}
         if bad:
             logger.warning(

@@ -79,3 +79,20 @@ def test_halo_matches_fast_worm(n_dev):
         np.asarray(out.pos), np.asarray(ref.pos), rtol=0, atol=5e-5
     )
     assert int(out.step) == 3
+
+
+def test_simulator_halo_engine(n_dev):
+    """Simulator(engine='halo') pads the scene to the device grid, steps,
+    and surfaces the halo_overflow diagnostic."""
+    from sph_tpu.runtime import Simulator
+
+    params = SimParams(x_max=6 * H, y_max=6 * H, z_max=60 * H)
+    scene = generate_liquid_box_scene(params, fill_fraction=0.5)
+    sim = Simulator(scene, params, engine="halo")
+    assert sim.scene.n_particles % n_dev == 0
+    sim.step(2)
+    assert sim.step_count == 2
+    pos = sim.get_position()
+    assert np.isfinite(pos).all()
+    out = sim.check_overflow()
+    assert out["halo_overflow"] == 0
