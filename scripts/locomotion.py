@@ -28,7 +28,10 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20000)
-    ap.add_argument("--chunk", type=int, default=500)
+    ap.add_argument("--chunk", type=int, default=10,
+                    help="compiled scan length (10 compiles in ~25 s; "
+                    "longer outer scans compile pathologically on 1 core)")
+    ap.add_argument("--report-every", type=int, default=500)
     ap.add_argument("--small", action="store_true",
                     help="reduced worm world (faster)")
     ap.add_argument("--frames", default="/tmp/locomotion_frames")
@@ -85,8 +88,9 @@ def main():
     done = 0
     frame_i = 0
     while done < args.steps:
-        state = run(state, springs, membranes)
-        done += args.chunk
+        for _ in range(max(1, args.report_every // args.chunk)):
+            state = run(state, springs, membranes)
+            done += args.chunk
         pos = np.asarray(state.pos)
         com = pos[el].mean(axis=0)
         bb = pos[el].max(0) - pos[el].min(0)

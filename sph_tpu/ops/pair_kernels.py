@@ -73,9 +73,20 @@ PMM_XT, PMM_YT, PMM_ZT = 45, 46, 47
 
 
 def _dotT(a, b):
-    """a [m, k] . b [n, k] -> [m, n] (contract trailing dims on the MXU)."""
+    """a [m, k] . b [n, k] -> [m, n] (contract trailing dims on the MXU).
+
+    precision=HIGHEST (full f32 via 6 bf16 passes) is load-bearing:
+    with Mosaic's default single bf16 pass (~4e-3 relative on the
+    operands) the spring pass's huge weights times centered positions
+    cancel catastrophically — a systematic ~5% force error on every
+    spring that tore the worm apart within 500 steps (r2) — and even the
+    density sum's positive terms lose ~2-3 digits against the small
+    (rho - rho0) pressure signal. Mosaic supports only DEFAULT and
+    HIGHEST (HIGH raises NotImplementedError). Costs ~21% of the step;
+    recovering it needs VPU lane reductions, not looser dots."""
     return jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
