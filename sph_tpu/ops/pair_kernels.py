@@ -145,7 +145,7 @@ def _group_of(n_blocks: int) -> int:
 
 
 def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
-               block, ccol, n_blocks, interpret=False):
+               block, ccol, n_blocks, interpret=False, finish_fn=None):
     """Build a jitted pair pass over [n_blocks] own blocks.
 
     prep_fn(orow, ocol) -> own_ctx — once per block; orow(a) reads own
@@ -247,11 +247,21 @@ def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
                 ctx = dict(colg=colg, base=base, own_gid=own_gid)
                 return tile_fn(own_ctx, slab_scr.at[slot], ctx, accs)
 
-            accs = tuple(
-                jnp.zeros((1, block), jnp.float32)
-                for _ in range(n_outputs)
-            )
-            accs = jax.lax.fori_loop(0, n_s, body, accs)
+            if finish_fn is None:
+                accs = tuple(
+                    jnp.zeros((1, block), jnp.float32)
+                    for _ in range(n_outputs)
+                )
+                accs = jax.lax.fori_loop(0, n_s, body, accs)
+            else:
+                # tile_fn accumulates (block, 1) sublane columns (VPU
+                # lane reductions); finish_fn turns them into (1, block)
+                # lane rows once per sub-block
+                accs = tuple(
+                    jnp.zeros((block, 1), jnp.float32)
+                    for _ in range(n_outputs)
+                )
+                accs = finish_fn(jax.lax.fori_loop(0, n_s, body, accs))
             row = (base_b + sub) % 8 if group < 8 else sub
             for k in range(n_outputs):
                 outs[k][pl.ds(row, 1), :] = accs[k]
@@ -315,10 +325,28 @@ def _q2_of(oc, slab, inv_h2, row0=0, own_start=0):
     return q2, dx, dy, dz
 
 
+def _col_to_row(acc):
+    """(block, 1) sublane column -> (1, block) lane row via one HIGHEST
+    identity contraction (Mosaic has no cheap sublane<->lane relayout)."""
+    block = acc.shape[0]
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+           ).astype(jnp.float32)
+    return jax.lax.dot_general(
+        acc, eye, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def make_density_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
                       interpret=False, **_):
     """rho_i = c_rho * max(1, sum poly6 over pairs q^2 <= 1)
-    (sphFluid.cl:472-518, all-pairs form)."""
+    (sphFluid.cl:472-518, all-pairs form).
+
+    The single scalar-per-own reduction runs on the VPU (lane sum into a
+    (block, 1) accumulator) — exact f32, and cheaper than the 6-pass
+    HIGHEST MXU dot a one-quantity reduction would otherwise need."""
 
     def prep(orow, ocol):
         return dict(oc=[ocol(k) for k in range(3)])
@@ -329,11 +357,15 @@ def make_density_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
         t = 1.0 - q2
         w = jnp.where(ok, t * t * t, 0.0)
         (acc,) = accs
-        return (acc + _lsum(w),)
+        return (acc + jnp.sum(w, axis=1, keepdims=True),)
+
+    def finish(accs):
+        return (_col_to_row(accs[0]),)
 
     raw = _make_pass(prep, tile, own_cols=MAIN_COLS,
                      slab_cols=MAIN_COLS, n_outputs=1, block=block,
-                     ccol=ccol, n_blocks=n_blocks, interpret=interpret)
+                     ccol=ccol, n_blocks=n_blocks, interpret=interpret,
+                     finish_fn=finish)
 
     def call(tables, own_pack, slab_pack):
         s = raw(tables, own_pack, slab_pack)
@@ -401,11 +433,15 @@ def make_rho_star_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
         t = 1.0 - q2s
         w = jnp.where(ok, t * t * t, 0.0)
         (acc,) = accs
-        return (acc + _lsum(w),)
+        return (acc + jnp.sum(w, axis=1, keepdims=True),)
+
+    def finish(accs):
+        return (_col_to_row(accs[0]),)
 
     raw = _make_pass(prep, tile, own_cols=ITER_COLS,
                      slab_cols=ITER_COLS, n_outputs=1, block=block,
-                     ccol=ccol, n_blocks=n_blocks, interpret=interpret)
+                     ccol=ccol, n_blocks=n_blocks, interpret=interpret,
+                     finish_fn=finish)
 
     def call(tables, own_pack, slab_pack):
         s = raw(tables, own_pack, slab_pack)
