@@ -72,22 +72,44 @@ PMM_XN, PMM_YN, PMM_ZN = 42, 43, 44
 PMM_XT, PMM_YT, PMM_ZT = 45, 46, 47
 
 
-def _dotT(a, b):
-    """a [m, k] . b [n, k] -> [m, n] (contract trailing dims on the MXU).
+_DIMS_T = (((1,), (1,)), ((), ()))
 
-    precision=HIGHEST (full f32 via 6 bf16 passes) is load-bearing:
-    with Mosaic's default single bf16 pass (~4e-3 relative on the
-    operands) the spring pass's huge weights times centered positions
-    cancel catastrophically — a systematic ~5% force error on every
-    spring that tore the worm apart within 500 steps (r2) — and even the
-    density sum's positive terms lose ~2-3 digits against the small
-    (rho - rho0) pressure signal. Mosaic supports only DEFAULT and
-    HIGHEST (HIGH raises NotImplementedError). Costs ~21% of the step;
-    recovering it needs VPU lane reductions, not looser dots."""
+
+def _dd(a, b, dims=_DIMS_T):
     return jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        a, b, dims, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
+
+
+def _bsplit(v):
+    """2-way bf16 split: v == hi + lo to ~1.6e-5 relative, both parts
+    exactly bf16-representable."""
+    hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = (v - hi).astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, lo
+
+
+def _dotT(a, b, exact_a=False):
+    """a [m, k] . b [n, k] -> [m, n] (contract trailing dims on the MXU)
+    at near-f32 precision via operand splitting.
+
+    Precision here is load-bearing: with Mosaic's default single bf16
+    pass (~4e-3 relative on the operands) the spring pass's huge weights
+    times centered positions cancel catastrophically — a systematic ~5%
+    force error on every spring tore the worm apart within 500 steps
+    (r2) — and even density's positive sums lose digits against the
+    small (rho - rho0) pressure signal. Mosaic supports only DEFAULT and
+    HIGHEST (6 passes, measured ~21% of the whole step); splitting each
+    inexact operand 2-way into exactly-bf16 parts and dropping the lo*lo
+    term gives ~3e-5 relative in 3 DEFAULT passes (2 when one operand is
+    already exactly bf16-representable, e.g. an all-ones row: exact_a)."""
+    if exact_a:
+        bh, bl = _bsplit(b)
+        return _dd(a, bh) + _dd(a, bl)
+    ah, al = _bsplit(a)
+    bh, bl = _bsplit(b)
+    return _dd(ah, bh) + (_dd(ah, bl) + _dd(al, bh))
 
 
 def _srow(slab, a):
@@ -99,7 +121,8 @@ def _lsum(w, f=None):
     """MXU reduction over the slab axis: sum_j f[k, j] * w[i, j] as a
     (k, block) lane-row matrix; f = ones when omitted (plain w row-sums)."""
     if f is None:
-        f = jnp.ones((1, w.shape[1]), jnp.float32)
+        return _dotT(jnp.ones((1, w.shape[1]), jnp.float32), w,
+                     exact_a=True)
     return _dotT(f, w)
 
 
@@ -199,11 +222,10 @@ def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
             )
 
         cp_own.wait()
-        # one MXU transpose per sub-block: rows (cols, block) -> columns
-        # (block, cols); Mosaic has no cheap sublane<->lane relayout
-        eye = (jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
-               == jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
-               ).astype(jnp.float32)
+        # one (split, exact) MXU transpose per sub-block: rows
+        # (cols, block) -> columns (block, cols); Mosaic has no cheap
+        # sublane<->lane relayout
+        eye = _eye_of(block)
 
         for sub in range(group):
             b = base_b + sub
@@ -211,7 +233,9 @@ def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
             n_s = cnt_t[b]
             own_off = own_off0 + sub * block
             o0 = sub * block
-            ownT = _dotT(eye, own_scr[:, o0:o0 + block])  # (block, cols)
+            # (block, cols): out[i, a] = own[a, i]
+            ownT = _eye_dot(own_scr[:, o0:o0 + block], eye,
+                            (((1,), (1,)), ((), ())), v_first=False)
 
             def orow(a, o0=o0):
                 return own_scr[a:a + 1, o0:o0 + block]
@@ -325,18 +349,43 @@ def _q2_of(oc, slab, inv_h2, row0=0, own_start=0):
     return q2, dx, dy, dz
 
 
+def _split3(v):
+    """3-way bf16 split: v == hi + mid + lo to ~6e-8 relative, each part
+    exactly bf16-representable."""
+    hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+    r = v - hi
+    mid = r.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = (r - mid).astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, mid, lo
+
+
+def _eye_dot(v, eye, dims, v_first=True):
+    """Identity contraction (transpose) at full precision in 3 DEFAULT
+    MXU passes: eye's {0,1} entries are exactly bf16, so splitting only
+    the data operand makes every product exact — half the issue count of
+    precision=HIGHEST (the per-sub-block transposes were ~10 ms/step at
+    HIGHEST across the 9 passes)."""
+    out = None
+    for part in _split3(v):
+        a, b = (part, eye) if v_first else (eye, part)
+        d = jax.lax.dot_general(
+            a, b, dims, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        out = d if out is None else out + d
+    return out
+
+
+def _eye_of(block):
+    return (jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+            ).astype(jnp.float32)
+
+
 def _col_to_row(acc):
-    """(block, 1) sublane column -> (1, block) lane row via one HIGHEST
-    identity contraction (Mosaic has no cheap sublane<->lane relayout)."""
-    block = acc.shape[0]
-    eye = (jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
-           == jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
-           ).astype(jnp.float32)
-    return jax.lax.dot_general(
-        acc, eye, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    """(block, 1) sublane column -> (1, block) lane row via identity
+    contraction (Mosaic has no cheap sublane<->lane relayout)."""
+    return _eye_dot(acc, _eye_of(acc.shape[0]), (((0,), (0,)), ((), ())))
 
 
 def make_density_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
