@@ -135,3 +135,71 @@ def test_fast_matches_exact_with_box_min_offset():
     scene = sparse_blob_scene(params)
     scene.pos += off  # same blob, shifted into the offset box
     compare(scene, params, 3, atol=5e-5)
+
+
+def test_spring_pass_matches_gather_fallback():
+    """The compact-slab spring pass vs the [Ne,32] gather fallback on a
+    scene whose springs are all elastic-anchored (the generated test worm
+    has boundary-anchored springs, so it exercises only the fallback —
+    this gap hid a TPU-only spring-force bug in r2)."""
+    import dataclasses
+
+    from sph_tpu.core.state import make_state, Springs, empty_membranes
+    from sph_tpu.core.step import SceneLayout
+
+    params = SimParams()
+    r0 = params.r0
+    pos, typ, nrm = [], [], []
+    for k in range(24):  # elastic chain (elastic block first)
+        pos.append([5.0 + 0.8 * r0 * k, 8.0, 5.0])
+        typ.append(2); nrm.append([0, 0, 0])
+    for ix in range(6):
+        for iy in range(4):
+            for iz in range(6):
+                pos.append([2 + ix * r0, 3 + iy * r0, 2 + iz * r0])
+                typ.append(1); nrm.append([0, 0, 0])
+    for ix in range(12):
+        for iz in range(12):
+            pos.append([ix * r0, 0.2, iz * r0])
+            typ.append(3); nrm.append([0, 1, 0])
+    pos = np.array(pos, np.float32)
+    state = make_state(pos, np.zeros_like(pos), np.array(typ, np.int32),
+                       np.array(nrm, np.float32))
+    idx = np.full((24, 32), -1, np.int32)
+    rest = np.zeros((24, 32), np.float32)
+    musc = np.zeros((24, 32), np.int32)
+    for k in range(24):
+        s = 0
+        for j in (k - 1, k + 1):
+            if 0 <= j < 24:
+                idx[k, s] = j
+                rest[k, s] = 0.8 * r0 * params.simulation_scale * 0.95
+                musc[k, s] = (min(k, j) % 5) + 1
+                s += 1
+    import jax
+    springs = jax.tree.map(jnp.asarray, Springs(
+        row_ids=np.arange(24, dtype=np.int32), idx=idx, rest=rest,
+        muscle=musc))
+    membranes = empty_membranes(len(pos))
+    act = np.zeros(100, np.float32)
+    act[:5] = 0.7
+    state = dataclasses.replace(state, muscle_activation=jnp.asarray(act))
+
+    lay = SceneLayout(n_particles=len(pos), elastic_range=(0, 24),
+                      muscle_model=False, springs_elastic_only=True)
+    cfg = compute_fast_config(pos, params, block=128, ccol=128,
+                              interpret=True)
+    out = {}
+    for name, l in [("pass", lay),
+                    ("fb", dataclasses.replace(
+                        lay, springs_elastic_only=False))]:
+        out[name] = make_fast_multi_step(params, l, cfg, 2)(
+            state, springs, membranes)
+    np.testing.assert_allclose(
+        np.asarray(out["pass"].vel), np.asarray(out["fb"].vel),
+        rtol=0, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["pass"].pos), np.asarray(out["fb"].pos),
+        rtol=0, atol=1e-5,  # pos_dt (~2.5) amplifies f32 vel round-off
+    )
