@@ -203,3 +203,29 @@ def test_spring_pass_matches_gather_fallback():
         np.asarray(out["pass"].pos), np.asarray(out["fb"].pos),
         rtol=0, atol=1e-5,  # pos_dt (~2.5) amplifies f32 vel round-off
     )
+
+
+def test_stepper_matches_multi_step():
+    """make_fast_stepper with one inner chunk per resort must reproduce
+    make_fast_multi_step exactly (same resort cadence)."""
+    from sph_tpu.core.fast import make_fast_stepper
+
+    params = SimParams(x_max=8 * H, y_max=8 * H, z_max=8 * H)
+    scene = generate_liquid_box_scene(params, fill_fraction=0.5)
+    state, springs, membranes = scene.device_state()
+    layout = scene.layout()
+    cfg = compute_fast_config(scene.pos, params, block=128, ccol=128,
+                              interpret=True, resort_every=5)
+    ref = make_fast_multi_step(params, layout, cfg, 10)(
+        state, springs, membranes)
+
+    sort, inner, unsort = make_fast_stepper(params, layout, cfg,
+                                            inner_steps=5)
+    out = state
+    for _ in range(2):
+        ctx, carry = sort(out, springs, membranes)
+        carry = inner(ctx, carry)
+        out = unsort(ctx, carry, out)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               rtol=0, atol=1e-6)
+    assert int(out.step) == 10
