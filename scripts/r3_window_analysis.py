@@ -1,0 +1,121 @@
+"""Round-3 pruning design analysis: computed candidate columns/particle for
+per-own-subgroup windows with tile-granularity skipping, on the real worm
+scene — sizes the win before kernel work.
+
+Design under test: own block B (DMA/output granularity) is split into
+``B/S`` subgroups of S consecutive sorted rows; each subgroup g gets its own
+per-dz-chunk candidate range [lo_g, hi_g) (pencils [first_g-1, last_g+2) x
+dz band). The slab stream stays the block-level union window (tiles of
+``ccol``); per (tile, subgroup) compute is skipped when the tile's column
+range misses [lo_g, hi_g). Computed area = sum over subgroups of
+overlapping-tile columns x S.
+
+Run: python scripts/r3_window_analysis.py
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+ALIGN = 128
+
+
+def build_scene():
+    from sph_tpu.config import SimParams
+    from sph_tpu.scene import generate_worm_scene
+
+    params = SimParams()
+    t0 = time.time()
+    scene = generate_worm_scene(params)
+    print(f"scene: {scene.n_particles} particles, "
+          f"build {time.time()-t0:.1f}s", flush=True)
+    return params, np.asarray(scene.pos)
+
+
+def pencil_sort(pos, params, cell):
+    """fast.py order: z-major, x-pencil, y-run."""
+    lo = np.asarray(params.box_min)
+    nx = int((params.x_max - params.x_min) / cell) + 1
+    ny = int((params.y_max - params.y_min) / cell) + 1
+    nz = int((params.z_max - params.z_min) / cell) + 1
+    c = np.clip(((pos - lo) / cell).astype(np.int64), 0,
+                [nx - 1, ny - 1, nz - 1])
+    pencil = c[:, 0] + nx * c[:, 2]
+    cid = c[:, 1] + ny * pencil
+    order = np.argsort(cid, kind="stable")
+    return order, pencil[order], c[order], (nx, ny, nz)
+
+
+def subgroup_windows(pos, params, *, B, S, ccol, cell, name=""):
+    order, pencil_s, cs, (nx, ny, nz) = pencil_sort(pos, params, cell)
+    n = len(pos)
+    npen = nx * nz
+    pstart = np.searchsorted(pencil_s, np.arange(npen + 1))
+    nb = -(-n // B)
+    n_pad = nb * B
+    pencil_pad = np.concatenate(
+        [pencil_s, np.full(n_pad - n, pencil_s[-1])])
+    # block-level union window (the DMA stream), current scheme
+    first_b = pencil_pad[np.arange(nb) * B]
+    last_b = pencil_pad[np.arange(nb) * B + B - 1]
+    # subgroup-level ranges
+    ng = B // S
+    first_g = pencil_pad[np.arange(nb * ng) * S].reshape(nb, ng)
+    last_g = pencil_pad[np.arange(nb * ng) * S + S - 1].reshape(nb, ng)
+
+    streamed = 0   # DMA'd columns (block-level)
+    computed = 0   # computed columns x S rows, per subgroup
+    prev_hi = np.zeros(nb, np.int64)
+    for dz in (-1, 0, 1):
+        lo_p = np.clip(first_b + dz * nx - 1, 0, npen)
+        hi_p = np.clip(last_b + dz * nx + 2, 0, npen)
+        lo_p = np.maximum(lo_p, prev_hi)
+        hi_p = np.maximum(hi_p, lo_p)
+        prev_hi = hi_p
+        off = pstart[lo_p]
+        end = pstart[hi_p]
+        aligned = (off // ALIGN) * ALIGN
+        ntile = np.where(end > aligned, -((aligned - end) // ccol), 0)
+        streamed += (ntile * ccol).sum()
+        # subgroup candidate ranges inside this chunk
+        lo_g = pstart[np.clip(first_g + dz * nx - 1, 0, npen)]
+        hi_g = pstart[np.clip(last_g + dz * nx + 2, 0, npen)]
+        # clip to the chunk itself (tiles only exist there)
+        lo_g = np.maximum(lo_g, off[:, None])
+        hi_g = np.minimum(hi_g, end[:, None])
+        # overlapping tiles: tile t covers [aligned + t*ccol, +ccol)
+        t_lo = np.maximum((lo_g - aligned[:, None]) // ccol, 0)
+        t_hi = np.where(
+            hi_g > lo_g,
+            -((aligned[:, None] - hi_g) // ccol), t_lo)
+        t_hi = np.minimum(t_hi, ntile[:, None])
+        computed += (np.maximum(t_hi - t_lo, 0) * ccol).sum() * S
+    print(f"{name:34s} B={B:4d} S={S:3d} ccol={ccol:4d}: "
+          f"streamed/col={streamed / n:7.0f}  "
+          f"computed/particle={computed / (n_pad):7.0f}", flush=True)
+    return computed / n_pad
+
+
+def current_scheme(pos, params, *, B, ccol, cell):
+    return subgroup_windows(pos, params, B=B, S=B, ccol=ccol, cell=cell,
+                            name="current (S=B)")
+
+
+def main():
+    params, pos = build_scene()
+    h = params.h
+    current_scheme(pos, params, B=256, ccol=256, cell=h)
+    for B, S, ccol in [(256, 128, 256), (256, 64, 256), (256, 32, 256),
+                       (256, 64, 128), (256, 32, 128), (256, 16, 128),
+                       (256, 8, 128),
+                       (512, 32, 128), (512, 64, 128),
+                       (128, 32, 128), (128, 16, 128),
+                       (256, 8, 256)]:
+        subgroup_windows(pos, params, B=B, S=S, ccol=ccol, cell=h,
+                         name="subgroup-skip")
+
+
+if __name__ == "__main__":
+    main()

@@ -69,7 +69,7 @@ def timeit(name, fn, *args, reps=30):
 
 main0 = jax.jit(lambda *f: fast._pack(list(f)))(
     xs, ys, zs, vxs, vys, vzs, ones, isb_s)
-tables = ctx["tables"]
+tables = ctx["rho_tables"]
 ftables = ctx["force_tables"]
 btables = ctx["bnd_tables"]
 

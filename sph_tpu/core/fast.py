@@ -73,7 +73,7 @@ def compute_fast_config(
     block: int = 256,
     ccol: int = 256,
     interpret: bool | None = None,
-    resort_every: int = 10,
+    resort_every: int = 30,
 ) -> FastConfig:
     """Static fast-engine shapes. Unlike round 1 there is no measured slab
     capacity: windows are streamed with a dynamic tile count, so nothing
@@ -106,9 +106,18 @@ def _window_tables(pencil_s, cfg: FastConfig):
     For each own block (``block`` consecutive sorted particles) the
     candidate set is three contiguous sorted-array windows — the pencil
     bands (z-1, z, z+1) x (x span +- 1 pencil) around the block's pencil
-    range. Returns the scalar-prefetch tables for the pair passes:
-    (aligned_offset, lo, hi, tile_start, tile_count), plus the per-block
-    pencil ranges (for the membrane flag logic).
+    range. Returns the scalar-prefetch tables for the pair passes
+    (aligned_offset, lo, hi, tile_start, tile_count, own_base), the
+    per-pencil start offsets, and the per-block pencil ranges (for the
+    membrane flag logic).
+
+    Chunks are deduplicated both in window space (``prev_hi``) and in TILE
+    space (``prev_tend``): a block's tiles are disjoint and cover every
+    in-window column exactly once, so the kernels need no per-pair window
+    mask at all — any real column a tile adds beyond the pencil-band range
+    is >= h away from every own particle (the bands' +-1-pencil margin is
+    exactly the h reach), where every pair term vanishes; pad columns
+    carry ``far`` positions (see pair_kernels module docstring).
     """
     n, nb, B = cfg.n_particles, cfg.n_blocks, cfg.block
     nx = cfg.dims[0]
@@ -124,6 +133,7 @@ def _window_tables(pencil_s, cfg: FastConfig):
 
     alns, los, his, nsubs, plos, phis = [], [], [], [], [], []
     prev_hi = jnp.zeros(nb, jnp.int32)
+    prev_tend = jnp.zeros(nb, jnp.int32)  # tile-space dedup watermark
     for dz in (-1, 0, 1):
         lo_p = jnp.clip(first + dz * nx - 1, 0, npen)
         hi_p = jnp.clip(last + dz * nx + 2, 0, npen)
@@ -132,8 +142,9 @@ def _window_tables(pencil_s, cfg: FastConfig):
         prev_hi = hi_p
         off = pstart[lo_p]
         end = pstart[hi_p]
-        aligned = (off // ALIGN) * ALIGN
+        aligned = jnp.maximum((off // ALIGN) * ALIGN, prev_tend)
         nsub = jnp.where(end > aligned, -((aligned - end) // ccol), 0)
+        prev_tend = aligned + nsub * ccol
         alns.append(aligned)
         los.append(off)
         his.append(end)
@@ -156,6 +167,28 @@ def _window_tables(pencil_s, cfg: FastConfig):
     )
     pencil_ranges = (jnp.stack(plos, 1), jnp.stack(phis, 1))
     return tables, pstart, pencil_ranges
+
+
+def _tile_chunks(lo, hi, n_blocks, ccol):
+    """Per-block chunk descriptors (aln, s0, cnt) from flattened [nb*3]
+    lo/hi column ranges, deduplicated in tile space (each block's tiles
+    are disjoint and cover every in-range column exactly once — the
+    maskless-kernel invariant). lo/hi must be nondecreasing per block."""
+    lo3 = lo.reshape(n_blocks, 3)
+    hi3 = hi.reshape(n_blocks, 3)
+    alns, nsubs = [], []
+    prev_tend = jnp.zeros(n_blocks, jnp.int32)
+    for c in range(3):
+        aligned = jnp.maximum((lo3[:, c] // ALIGN) * ALIGN, prev_tend)
+        nsub = jnp.where(
+            hi3[:, c] > aligned, -((aligned - hi3[:, c]) // ccol), 0
+        ).astype(jnp.int32)
+        prev_tend = aligned + nsub * ccol
+        alns.append(aligned)
+        nsubs.append(nsub)
+    nsub = jnp.stack(nsubs, 1)
+    s0 = (jnp.cumsum(nsub, axis=1) - nsub).reshape(-1)
+    return jnp.stack(alns, 1).reshape(-1), s0, nsub.sum(axis=1)
 
 
 def _pad_field(a, cfg: FastConfig, fill=0.0):
@@ -260,7 +293,11 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
             return _pad_field(a[order], cfg, fill)
 
         tables, pstart, pranges = _window_tables(pencil_s, cfg)
-        isb_s = srt(is_b.astype(jnp.float32))
+        # pad/phantom rows are flagged boundary (fill 1.0): maskless tiles
+        # can overhang into pad columns, so phantom rows must be pinned
+        # like walls (otherwise they would integrate off the `far` fill
+        # and re-enter the box as spurious columns)
+        isb_s = srt(is_b.astype(jnp.float32), 1.0)
         liq_s = srt(is_liq.astype(jnp.float32))
         nxs = srt(nrm.x)
         nys = srt(nrm.y)
@@ -295,12 +332,9 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
             bels = jnp.sort(inv[jnp.arange(b0, b1)])     # ascending rows
             lo_b = jnp.searchsorted(bels, lo_t).astype(jnp.int32)
             hi_b = jnp.searchsorted(bels, hi_t).astype(jnp.int32)
-            aln_b = (lo_b // ALIGN) * ALIGN
-            nsub_b = jnp.where(
-                hi_b > aln_b, -((aln_b - hi_b) // cfg.ccol), 0
-            ).astype(jnp.int32).reshape(cfg.n_blocks, 3)
-            s0_b = (jnp.cumsum(nsub_b, axis=1) - nsub_b).reshape(-1)
-            cnt_b = nsub_b.sum(axis=1)
+            aln_b, s0_b, cnt_b = _tile_chunks(
+                lo_b, hi_b, cfg.n_blocks, cfg.ccol
+            )
             bnd_tables = (aln_b, lo_b, hi_b, s0_b,
                           jnp.where(own_nonb & win_has_b, cnt_b, 0), ob_t)
             n_b = b1 - b0
@@ -357,15 +391,12 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
             els = el_rows[perm]                          # ascending rows
             ctx["els"] = els
             # window tables in compact coordinates (chunks stay disjoint
-            # and ascending under searchsorted)
+            # and ascending under searchsorted); tile-deduped (maskless)
             lo_c = jnp.searchsorted(els, lo_t).astype(jnp.int32)
             hi_c = jnp.searchsorted(els, hi_t).astype(jnp.int32)
-            aln_c = (lo_c // ALIGN) * ALIGN
-            nsub_c = jnp.where(
-                hi_c > aln_c, -((aln_c - hi_c) // cfg.ccol), 0
-            ).astype(jnp.int32).reshape(cfg.n_blocks, 3)
-            s0_c = (jnp.cumsum(nsub_c, axis=1) - nsub_c).reshape(-1)
-            cnt_c = nsub_c.sum(axis=1)
+            aln_c, s0_c, cnt_c = _tile_chunks(
+                lo_c, hi_c, cfg.n_blocks, cfg.ccol
+            )
 
         # springs as a pair pass over the compact slab: each compact
         # column j carries its 32 spring-partner sorted ids + rest
@@ -385,9 +416,13 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
                 inv[jnp.maximum(sidx, 0)].astype(jnp.float32), -1.0,
             )
             rest_c = jnp.where(sidx >= 0, springs.rest[r_safe], 0.0)
-            ctx["spr_static"] = jnp.zeros((64, mcap), jnp.float32).at[
-                :, :n_el
-            ].set(jnp.concatenate([idx_f.T, rest_c.T], axis=0))
+            # pad columns must carry partner id -1 (0.0 would maskless-
+            # match sorted row 0 when a block's tiles overhang the slab)
+            idx_p = jnp.full((32, mcap), -1.0, jnp.float32).at[
+                :, :n_el].set(idx_f.T)
+            rest_p = jnp.zeros((32, mcap), jnp.float32).at[
+                :, :n_el].set(rest_c.T)
+            ctx["spr_static"] = jnp.concatenate([idx_p, rest_p], axis=0)
             ctx["spr_mid"] = jnp.where(
                 sidx >= 0, springs.muscle[r_safe], 0
             )                                            # [n_el,32]
@@ -492,13 +527,14 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
             # per-slot activation force term via one-hot contraction
             # (a gather from the 96-entry table costs ~15 ns/elem)
             mid = ctx["spr_mid"]
+            n_act = act.shape[0]  # matches elastic.elastic_accel's one-hot
             oh = (
                 mid[:, :, None]
-                == jnp.arange(1, 97, dtype=mid.dtype)
+                == jnp.arange(1, n_act + 1, dtype=mid.dtype)
             ).astype(jnp.float32)
             actf = jnp.einsum(
                 "nsm,m->ns", oh,
-                act[:96] * np.float32(params.muscle_force),
+                act * np.float32(params.muscle_force),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
@@ -710,23 +746,40 @@ def make_fast_multi_step(params, layout, cfg, n_steps: int = 1):
     """Jitted run(state, springs, membranes) -> state after n_steps.
 
     Resorts every ``cfg.resort_every`` steps; between resorts the physics
-    scans in sorted space with cached window tables."""
+    scans in sorted space with cached window tables. The sorted-space scan
+    is NESTED (an outer scan over <=10-step inner scans): XLA:TPU compile
+    time explodes super-linearly in the trip count of a flat scan over
+    this step (10 steps ~30 s, 20 steps ~700 s, 30 steps >10 min measured
+    on a quiet host — r3), while nesting keeps every loop body at <=10
+    steps and compiles like the 10-step graph."""
     sort_ctx, carry_of, inner_step, unsort_state = _make_step_parts(
         params, layout, cfg
     )
     r_every = max(1, cfg.resort_every)
     full, rem = divmod(n_steps, r_every)
 
+    def scan_steps(ctx, carry, length):
+        def body(c, _):
+            return inner_step(ctx, c), None
+
+        m_in = min(length, 10)
+        m_out, rem2 = divmod(length, m_in)
+
+        def outer(c, _):
+            c2, _ = jax.lax.scan(body, c, None, length=m_in)
+            return c2, None
+
+        carry, _ = jax.lax.scan(outer, carry, None, length=m_out)
+        if rem2:
+            carry, _ = jax.lax.scan(body, carry, None, length=rem2)
+        return carry
+
     @jax.jit
     def run(state, springs, membranes):
         def sweep(state, r_steps):
             ctx = sort_ctx(state, springs, membranes)
             carry = carry_of(ctx, state)
-
-            def body(c, _):
-                return inner_step(ctx, c), None
-
-            carry, _ = jax.lax.scan(body, carry, None, length=r_steps)
+            carry = scan_steps(ctx, carry, r_steps)
             return unsort_state(ctx, carry, state)
 
         if full:

@@ -22,6 +22,28 @@ all-pairs* passes over cell-sorted particles:
   ``W @ F^T`` contraction, with coordinate reductions centered on the
   tile's first entry to keep the dot well-conditioned.
 
+MASKLESS INVARIANT (r3): the table builders (core.fast._window_tables /
+_tile_chunks) emit tiles that are *disjoint and covering* per block — every
+in-window column appears in exactly one tile. The kernels therefore apply
+NO window-validity test per pair:
+
+* any real column a tile covers beyond the pencil-band window is >= h away
+  from every own particle at sort time (the bands' +-1-pencil / +-1-row
+  margin is exactly the h reach in x and z), where every pair term already
+  vanishes (poly6/visc weights hit 0 at q = 1; boundary/membrane weights
+  reach only r0 = h/2 on post-step distances);
+* pad columns carry ``far`` positions (and zero flags), excluded the same
+  way — the caller must pin pad/phantom OWN rows (fast.py pads the
+  boundary flag with 1 so they integrate as walls);
+* self-interaction is handled per pass: density/rho* subtract the exact
+  self term (q = 0 -> poly6 weight exactly 1), the viscosity/surface sums
+  cancel the self term analytically, pressure/spring weights carry a
+  q^2 > 0 factor.
+
+This removes the per-pair window-AND + self-compare (the dominant
+non-arithmetic VPU ops of the light passes) and the per-tile column-id
+iota build.
+
 Layout notes (hard-won):
 * ALL field packs are column-major ``[cols, n_alloc]`` — a slab tile and an
   own block are single aligned 2-D DMAs and each field a natural
@@ -176,9 +198,10 @@ def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
       sublane column (from one identity-matmul transpose of the whole own
       block on the MXU).
     tile_fn(own_ctx, slab, ctx, accs) -> accs — per ccol-wide slab tile;
-      slab is a VMEM ref view [slab_cols, ccol]; ctx carries colg (1, ccol)
-      global slab row ids, base (1, ccol) window-validity mask, own_gid
-      (block, 1); accs is a tuple of (1, block) lane-row accumulators.
+      slab is a VMEM ref view [slab_cols, ccol]; ctx carries own_gid
+      (block, 1) global sorted row ids (id-matching passes only); accs is
+      a tuple of accumulators. There is NO per-pair window mask: tiles
+      are disjoint + covering (see module docstring).
 
     Each grid step processes a GROUP of (up to) 8 consecutive own blocks
     with a single own-block DMA and one output block: the per-grid-step
@@ -191,12 +214,15 @@ def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
     [n_blocks] int32 total tile counts, and own_base [1] int32 — the
     column of own block 0 inside the pack (0 single-chip; the halo-exchange
     sharded engine passes the local slab offset of the device's own rows,
-    which must be a multiple of ALIGN).
+    which must be a multiple of ALIGN). lo/hi are unused by the kernel
+    (maskless) but kept in the table format: the compact-slab and halo
+    table remaps are built from them on the host side.
     """
     n_prefetch = 6
     group = _group_of(n_blocks)
 
     def kernel(aln_t, lo_t, hi_t, s0_t, cnt_t, ob_t, own_h, slab_h, *rest):
+        del lo_t, hi_t  # maskless: tiles are disjoint + covering
         outs = rest[:n_outputs]
         own_scr, slab_scr, osem, ssem = rest[n_outputs:]
 
@@ -247,6 +273,7 @@ def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
             own_gid = own_off + jax.lax.broadcasted_iota(
                 jnp.int32, (block, 1), 0
             )
+            ctx = dict(own_gid=own_gid)
 
             # all slot waits from the previous sub-block have completed,
             # so slot 0 is free to seed this sub-block's stream
@@ -254,8 +281,7 @@ def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
             def _(b3=b3):
                 tile_copy(b3, 0, 0).start()
 
-            def body(s, accs, b3=b3, n_s=n_s, own_ctx=own_ctx,
-                     own_gid=own_gid):
+            def body(s, accs, b3=b3, n_s=n_s, own_ctx=own_ctx, ctx=ctx):
                 slot = jax.lax.rem(s, 2)
 
                 @pl.when(s + 1 < n_s)
@@ -263,12 +289,6 @@ def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
                     tile_copy(b3, s + 1, jax.lax.rem(s + 1, 2)).start()
 
                 tile_copy(b3, s, slot).wait()
-                c, off = tile_chunk_off(b3, s)
-                colg = off + jax.lax.broadcasted_iota(
-                    jnp.int32, (1, ccol), 1
-                )
-                base = (colg >= lo_t[c]) & (colg < hi_t[c])
-                ctx = dict(colg=colg, base=base, own_gid=own_gid)
                 return tile_fn(own_ctx, slab_scr.at[slot], ctx, accs)
 
             if finish_fn is None:
@@ -322,6 +342,9 @@ def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
     )
 
     def call(tables, own_pack, slab_pack):
+        assert len(tables) == n_prefetch, (
+            f"pass expects {n_prefetch} tables, got {len(tables)}"
+        )
         args = list(tables) + [own_pack, slab_pack]
         res = pl.pallas_call(
             kernel,
@@ -390,23 +413,23 @@ def _col_to_row(acc):
 
 def make_density_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
                       interpret=False, **_):
-    """rho_i = c_rho * max(1, sum poly6 over pairs q^2 <= 1)
+    """rho_i = c_rho * max(1, sum_{j != i} poly6 over pairs q^2 <= 1)
     (sphFluid.cl:472-518, all-pairs form).
 
-    The single scalar-per-own reduction runs on the VPU (lane sum into a
-    (block, 1) accumulator) — exact f32, and cheaper than the 6-pass
-    HIGHEST MXU dot a one-quantity reduction would otherwise need."""
+    Maskless: w = max(1 - q^2, 0)^3 vanishes for every column beyond the
+    window; the exact self term (q = 0 -> w = 1) is subtracted after the
+    reduction. The single scalar-per-own reduction runs on the VPU (lane
+    sum into a (block, 1) accumulator) — exact f32, and cheaper than the
+    6-pass HIGHEST MXU dot a one-quantity reduction would otherwise need."""
 
     def prep(orow, ocol):
         return dict(oc=[ocol(k) for k in range(3)])
 
     def tile(own, slab, ctx, accs):
         q2, _, _, _ = _q2_of(own["oc"], slab, inv_h2)
-        ok = ctx["base"] & (ctx["colg"] != ctx["own_gid"]) & (q2 <= 1.0)
-        t = 1.0 - q2
-        w = jnp.where(ok, t * t * t, 0.0)
+        t = jnp.maximum(1.0 - q2, 0.0)
         (acc,) = accs
-        return (acc + jnp.sum(w, axis=1, keepdims=True),)
+        return (acc + jnp.sum(t * t * t, axis=1, keepdims=True),)
 
     def finish(accs):
         return (_col_to_row(accs[0]),)
@@ -417,8 +440,11 @@ def make_density_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
                      finish_fn=finish)
 
     def call(tables, own_pack, slab_pack):
+        # subtract the exact self term (included maskless at w = 1); rows
+        # with a zeroed tile count (gated far walls, phantoms) sum 0 and
+        # clamp to c_rho exactly as before
         s = raw(tables, own_pack, slab_pack)
-        return c_rho * jnp.maximum(s, 1.0)
+        return c_rho * jnp.maximum(s - 1.0, 1.0)
 
     return call
 
@@ -428,7 +454,11 @@ def make_viscsurf_pass(*, block, ccol, n_blocks, inv_h2, interpret=False,
     """Fused viscosity + surface-tension pair sums (sphFluid.cl:589-708),
     over q < 1 pairs: visc = sum (ve_j - ve_i)(1-q)/rho_j, surf = sum
     (x_i - x_j). Boundary neighbors contribute wall normals as velocity
-    (pack's VE columns pre-substituted). Outputs (vx, vy, vz, sx, sy, sz)."""
+    (pack's VE columns pre-substituted). Outputs (vx, vy, vz, sx, sy, sz).
+
+    Maskless: wv = max(1-q, 0)/rho_j vanishes beyond the window; the self
+    terms cancel analytically (visc: wv_ii * ve_i appears in both the
+    field sum and ve_i * row-sum; surf: x_i - x_i = 0)."""
 
     def prep(orow, ocol):
         return dict(oc=[ocol(k) for k in range(3)],
@@ -437,12 +467,10 @@ def make_viscsurf_pass(*, block, ccol, n_blocks, inv_h2, interpret=False,
 
     def tile(own, slab, ctx, accs):
         q2, _, _, _ = _q2_of(own["oc"], slab, inv_h2)
-        ok = ctx["base"] & (ctx["colg"] != ctx["own_gid"]) & (q2 < 1.0)
-
-        q = jnp.sqrt(q2)
+        t = jnp.maximum(1.0 - jnp.sqrt(q2), 0.0)
         inv_rho = 1.0 / _srow(slab, PM_RHO)
-        wv = jnp.where(ok, (1.0 - q) * inv_rho, 0.0)
-        ws = jnp.where(ok, 1.0, 0.0)
+        wv = t * inv_rho
+        ws = (q2 < 1.0).astype(jnp.float32)
 
         sv, rv = _wsum3_rw(wv, slab, PM_VEX)     # sum wv * ve_j (+ row-sum)
         sx = _wsum3(ws, slab, PM_X, own3=own["xo"])  # sum ws * (x_i - x_j)
@@ -462,7 +490,8 @@ def make_viscsurf_pass(*, block, ccol, n_blocks, inv_h2, interpret=False,
 def make_rho_star_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
                        interpret=False, **_):
     """Predicted density (sphFluid.cl:982-1059): contribution from
-    predicted positions with q*^2 < 1 strict.
+    predicted positions with q*^2 < 1 strict; maskless like the density
+    pass (w = max(1-q*^2, 0)^3, exact self term subtracted after).
 
     Documented deviation: the reference restricts the pair set to the
     time-t neighborMap (cached-neighbor semantics) in addition to the
@@ -477,12 +506,9 @@ def make_rho_star_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
 
     def tile(own, slab, ctx, accs):
         q2s, _, _, _ = _q2_of(own["oc"], slab, inv_h2)
-        ok = (ctx["base"] & (ctx["colg"] != ctx["own_gid"])
-              & (q2s < 1.0))
-        t = 1.0 - q2s
-        w = jnp.where(ok, t * t * t, 0.0)
+        t = jnp.maximum(1.0 - q2s, 0.0)
         (acc,) = accs
-        return (acc + jnp.sum(w, axis=1, keepdims=True),)
+        return (acc + jnp.sum(t * t * t, axis=1, keepdims=True),)
 
     def finish(accs):
         return (_col_to_row(accs[0]),)
@@ -494,7 +520,7 @@ def make_rho_star_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
 
     def call(tables, own_pack, slab_pack):
         s = raw(tables, own_pack, slab_pack)
-        return c_rho * jnp.maximum(s, 1.0)
+        return c_rho * jnp.maximum(s - 1.0, 1.0)
 
     return call
 
@@ -505,7 +531,10 @@ def make_paccel_pass(*, block, ccol, n_blocks, inv_h2, inv_h, rho0_delta,
     pairs, term = (1-q)^2 * 0.5 * (p_i + p_j)/rho*_j, anti-clump
     substitution below q = 0.25; direction = unit(x_i - x_j), scaled by
     inv_h to match the reference's spiky gradient.
-    Pack cols: [x, y, z, rho*, p] (time-t positions)."""
+    Pack cols: [x, y, z, rho*, p] (time-t positions). Maskless: the
+    q^2 > 0 factor excludes self (and coincident pairs, matching the
+    reference's zero-distance guard), q^2 < 1 excludes everything beyond
+    the window."""
 
     def prep(orow, ocol):
         return dict(oc=[ocol(k) for k in range(3)], po=ocol(4),
@@ -513,8 +542,7 @@ def make_paccel_pass(*, block, ccol, n_blocks, inv_h2, inv_h, rho0_delta,
 
     def tile(own, slab, ctx, accs):
         q2, _, _, _ = _q2_of(own["oc"], slab, inv_h2)
-        ok = (ctx["base"] & (ctx["colg"] != ctx["own_gid"])
-              & (q2 < 1.0) & (q2 > 0.0))
+        ok = (q2 < 1.0) & (q2 > 0.0)
         # one rsqrt yields both q (= q2 * rsqrt(q2)) and 1/q — the sqrt +
         # divide pair it replaces was ~30% of this tile's VPU work
         inv_q = jax.lax.rsqrt(jnp.maximum(q2, 1e-30))
@@ -551,10 +579,10 @@ def make_spring_pass(*, block, ccol, n_blocks, inv_h, h_scale, k_spring,
 
     The slab lists each elastic particle j's spring partners as sorted row
     ids; a pair (own i, slab j) matches when i appears in j's list (the
-    graph is symmetric). Matching uses NO radius cutoff — only the window
-    mask — so a spring is dropped only if it stretches+drifts beyond the
-    one-cell window margin (strain far beyond physical validity; the SPH
-    pair cutoff loses pairs orders of magnitude sooner).
+    graph is symmetric). Matching uses NO radius cutoff, and maskless
+    tiles mean a spring is included whenever its partner column lands in
+    the block's tile coverage — i.e. window-margin drop-out is now even
+    rarer than in r2 (coverage is a superset of the window).
 
     Own pack = the main pack (positions at rows 0-2). Outputs (ax, ay, az)
     in scaled-SI acceleration units.
@@ -584,7 +612,7 @@ def make_spring_pass(*, block, ccol, n_blocks, inv_h, h_scale, k_spring,
         inv_q = jax.lax.rsqrt(jnp.maximum(q2, 1e-30))
         r_m = q2 * inv_q * h_scale                  # r in meters
         coef = -(r_m * msum - rest_acc) * k_spring - actf_acc
-        ok = ctx["base"] & (msum > 0.0) & (q2 > 0.0)
+        ok = (msum > 0.0) & (q2 > 0.0)
         # accel = (x_i - x_j)_m / r_m * coef; on sim-unit dx that is
         # dx * coef * rsqrt(q2) / h
         w = jnp.where(ok, coef * inv_q * inv_h, 0.0)
@@ -604,6 +632,8 @@ def make_boundary_pass(*, block, ccol, n_blocks, inv_h2, r0,
     own pack cols: [x_t, y_t, z_t, xn, yn, zn]; slab = boundary pack.
     Pair set: within h at time t AND slab is boundary; weights from the
     distance of the *new* own position to the boundary particle.
+    Maskless: out-of-window columns are >= h away, where both the time-t
+    cutoff and the max(0, (r0-d)/r0) weight (reach r0 = h/2) vanish.
     Outputs: n_ci (3), w_sum, w2_sum."""
 
     def prep(orow, ocol):
@@ -613,10 +643,9 @@ def make_boundary_pass(*, block, ccol, n_blocks, inv_h2, r0,
         oc = own["oc"]
         q2t, _, _, _ = _q2_of(oc, slab, inv_h2)
         isb = _srow(slab, PB_ISB)
-        # no self-exclusion: the slab is the COMPACT boundary array (its
-        # column ids are not own-row ids); own boundary rows that would
-        # self-pair have their outputs pinned by the caller anyway
-        ok = ctx["base"] & (q2t <= 1.0) & (isb > 0.0)
+        # no self-exclusion: own boundary rows that would self-pair have
+        # their outputs pinned by the caller anyway
+        ok = (q2t <= 1.0) & (isb > 0.0)
 
         dnx = oc[3] - _srow(slab, PB_X)
         dny = oc[4] - _srow(slab, PB_Y)
@@ -643,6 +672,10 @@ def make_membrane_pass(*, block, ccol, n_blocks, inv_h2, r0,
     particle 7 x (plane normal, ref point) at rows 6t..6t+5 (zeros when
     absent), rows 42-44 x(t+1), rows 45-47 x(t). Blocks without
     liquid-near-membrane work have their tile count zeroed by the caller.
+    Maskless: out-of-window columns are >= h away, where both the time-t
+    cutoff and the r0-reach weight vanish; non-membrane columns carry
+    all-zero triangle normals (cnt = 0 excludes them); own rows receiving
+    the correction are liquid-masked by the caller.
     Outputs: n_ci (3), w_sum, w2_sum."""
 
     def prep(orow, ocol):
@@ -651,10 +684,7 @@ def make_membrane_pass(*, block, ccol, n_blocks, inv_h2, r0,
     def tile(own, slab, ctx, accs):
         oc = own["oc"]
         q2t, _, _, _ = _q2_of(oc, slab, inv_h2, row0=PMM_XT)
-        # no self-exclusion: the slab is the COMPACT elastic array (its
-        # column ids are not own-row ids), and own rows that receive the
-        # correction are liquid-masked by the caller anyway
-        ok = ctx["base"] & (q2t <= 1.0)
+        ok = q2t <= 1.0
 
         xno, yno, zno = oc[3], oc[4], oc[5]
         # per-triangle side signs: s = nt . (xn_own - at); nt == 0 rows

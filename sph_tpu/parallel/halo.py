@@ -136,14 +136,20 @@ def make_halo_fast_multi_step(
 
         own_fields: list of [n_pad_loc] arrays. Returns list of
         [slab_size] arrays: [prev tail | own | next head | fill].
-        Devices at the chain ends receive zeros from ppermute; those halo
-        columns are never inside any window's [lo, hi) so the values are
-        base-masked in the kernels.
+        Devices at the chain ends receive zeros from ppermute; those bands
+        are overwritten with the per-field fill value (positions -> far):
+        the maskless kernels have no window test, and zero-position
+        columns would sit at the box origin corner inside reach of real
+        particles.
         """
         k = len(own_fields)
         stack = jnp.stack(own_fields, 0)                      # [k, n_pad_loc]
         tail = jax.lax.ppermute(stack[:, -halo_pad:], ax, perm_fwd)
         head = jax.lax.ppermute(stack[:, :halo_pad], ax, perm_bwd)
+        dev = jax.lax.axis_index(ax)
+        fillc = jnp.array(fills, jnp.float32)[:, None]
+        tail = jnp.where(dev == 0, fillc, tail)
+        head = jnp.where(dev == ndev - 1, fillc, head)
         out = []
         for i in range(k):
             fill = jnp.full((cfg.ccol,), fills[i], jnp.float32)
@@ -198,24 +204,19 @@ def make_halo_fast_multi_step(
         # clamp windows into the slab; anything clipped = halo overflow
         slab_lo = base
         slab_hi = base + n_pad_loc + 2 * halo_pad
-        aln_c = jnp.clip(aln_l, slab_lo, slab_hi)
-        # re-align after clamping (slab_lo is ALIGN-aligned)
-        aln_c = slab_lo + ((aln_c - slab_lo) // ALIGN) * ALIGN
         lo_c = jnp.clip(lo_l, slab_lo, slab_hi)
         hi_c = jnp.clip(hi_l, slab_lo, slab_hi)
         overflow = ((lo_l - lo_c) != 0).sum() + ((hi_l - hi_c) != 0).sum()
         overflow = jax.lax.psum(overflow, ax)
-        nsub = jnp.where(
-            hi_c > aln_c, -((aln_c - hi_c) // cfg.ccol), 0
-        ).astype(jnp.int32).reshape(nb_loc, 3)
-        s0_new = (jnp.cumsum(nsub, axis=1) - nsub).reshape(-1)
-        cnt_new = nsub.sum(axis=1)
-        # local-slab coordinates
-        aln_c = aln_c - base
-        lo_c = lo_c - base
-        hi_c = hi_c - base
+        # local-slab coordinates (base is ALIGN-aligned), tile-deduped —
+        # the maskless kernels require disjoint + covering tiles
+        lo_loc = lo_c - base
+        hi_loc = hi_c - base
+        aln_loc, s0_new, cnt_new = F._tile_chunks(
+            lo_loc, hi_loc, nb_loc, cfg.ccol
+        )
         ob = jnp.full((1,), own_off, jnp.int32)
-        tables = (aln_c, lo_c, hi_c, s0_new, cnt_new, ob)
+        tables = (aln_loc, lo_loc, hi_loc, s0_new, cnt_new, ob)
 
         # sorted static fields, local slab slices
         def sl(a_g_sorted, fill):
@@ -223,7 +224,10 @@ def make_halo_fast_multi_step(
             g = jax.lax.dynamic_update_slice(g, a_g_sorted, (P0,))
             return jax.lax.dynamic_slice(g, (base,), (slab_size,))
 
-        isb_s = sl(is_b[order], 0.0)
+        # fill 1.0: rows outside the real sorted range (phantom pads of
+        # the last device, never-real shift regions) are pinned like
+        # walls — maskless tiles can overhang into them
+        isb_s = sl(is_b[order], 1.0)
         liq_s = sl(is_liq[order], 0.0)
         nxs = sl(nrm_g.x[order], 0.0)
         nys = sl(nrm_g.y[order], 0.0)
