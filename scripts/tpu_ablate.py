@@ -48,7 +48,9 @@ def time_step(name, ctx_mod, params_mod=None, reps=30):
 
 full = time_step("full inner step", ctx)
 
-no_el = dict(ctx); no_el.pop("springs_s", None)
+no_el = dict(ctx)
+for k in ("springs_s", "spr_static", "spr_mid", "spr_tables"):
+    no_el.pop(k, None)
 m_el = full - time_step("w/o elastic", no_el)
 
 no_mem = dict(no_el)

@@ -74,19 +74,24 @@ def compute_fast_config(
     ccol: int = 256,
     interpret: bool | None = None,
     resort_every: int = 30,
+    block_multiple: int = 8,
 ) -> FastConfig:
     """Static fast-engine shapes. Unlike round 1 there is no measured slab
     capacity: windows are streamed with a dynamic tile count, so nothing
-    here depends on the particle distribution (only on the count)."""
+    here depends on the particle distribution (only on the count).
+
+    ``block_multiple``: round the block count up to this multiple —
+    default 8 so every pair pass can run 8 blocks per grid step (fixed
+    per-grid-step overhead measured at ~1.9 us; phantom blocks get zero
+    tile counts). The halo engine passes lcm(8, n_devices) so the blocks
+    divide evenly across any device count."""
     cell = params.h
     nx = int((params.x_max - params.x_min) / cell) + 1
     ny = int((params.y_max - params.y_min) / cell) + 1
     nz = int((params.z_max - params.z_min) / cell) + 1
     n = len(pos)
-    # round the block count to a multiple of 8 so every pair pass can run
-    # 8 blocks per grid step (fixed per-grid-step overhead measured at
-    # ~1.9 us); phantom blocks get zero tile counts
-    nb = -(-(-(-n // block)) // 8) * 8
+    m = block_multiple
+    nb = -(-(-(-n // block)) // m) * m
     if interpret is None:
         # the axon PJRT plugin reports platform "axon" for a real TPU chip
         dev = jax.devices()[0]
@@ -241,10 +246,11 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
     )
     boundary_pass = pk.make_boundary_pass(r0=r0, **kw)
     membrane_pass = pk.make_membrane_pass(r0=r0, **kw)
+    n_slots = layout.spring_slots
     spring_pass = pk.make_spring_pass(
         inv_h=inv_h,
         h_scale=np.float32(params.h * params.simulation_scale),
-        k_spring=np.float32(params.k_spring), **kw,
+        k_spring=np.float32(params.k_spring), n_slots=n_slots, **kw,
     )
 
     n = cfg.n_particles
@@ -409,23 +415,26 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
             r_of_col = rmap[e0 + perm]                   # [n_el]
             r_safe = jnp.maximum(r_of_col, 0)
             sidx = jnp.where(
-                (r_of_col >= 0)[:, None], springs.idx[r_safe], -1
-            )                                            # [n_el,32] orig ids
+                (r_of_col >= 0)[:, None],
+                springs.idx[r_safe, :n_slots], -1
+            )                                            # [n_el,k] orig ids
             idx_f = jnp.where(
                 sidx >= 0,
                 inv[jnp.maximum(sidx, 0)].astype(jnp.float32), -1.0,
             )
-            rest_c = jnp.where(sidx >= 0, springs.rest[r_safe], 0.0)
+            rest_c = jnp.where(
+                sidx >= 0, springs.rest[r_safe, :n_slots], 0.0
+            )
             # pad columns must carry partner id -1 (0.0 would maskless-
             # match sorted row 0 when a block's tiles overhang the slab)
-            idx_p = jnp.full((32, mcap), -1.0, jnp.float32).at[
+            idx_p = jnp.full((n_slots, mcap), -1.0, jnp.float32).at[
                 :, :n_el].set(idx_f.T)
-            rest_p = jnp.zeros((32, mcap), jnp.float32).at[
+            rest_p = jnp.zeros((n_slots, mcap), jnp.float32).at[
                 :, :n_el].set(rest_c.T)
             ctx["spr_static"] = jnp.concatenate([idx_p, rest_p], axis=0)
             ctx["spr_mid"] = jnp.where(
-                sidx >= 0, springs.muscle[r_safe], 0
-            )                                            # [n_el,32]
+                sidx >= 0, springs.muscle[r_safe, :n_slots], 0
+            )                                            # [n_el,k]
             # gate: own block contains at least one elastic row
             own_el = (
                 jnp.zeros(cfg.n_pad, jnp.float32).at[els].set(1.0)
@@ -538,9 +547,8 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            actf_p = jnp.zeros((32, mcap), jnp.float32).at[:, :n_el].set(
-                actf.T
-            )
+            actf_p = jnp.zeros((n_slots, mcap), jnp.float32).at[
+                :, :n_el].set(actf.T)
 
             def crow(a):
                 return jnp.full((mcap,), far, jnp.float32).at[:n_el].set(

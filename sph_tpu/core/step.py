@@ -56,6 +56,15 @@ class SceneLayout:
     # worm; loaded scenes may also anchor springs to boundary particles,
     # which the fast engine's compact spring pass cannot represent)
     springs_elastic_only: bool = True
+    # highest used partner slot across the spring table (scene-measured;
+    # the reference's 32-slot table is mostly -1 padding — the worm's max
+    # degree is 16). Sizes the fast engine's spring pack and match loop.
+    spring_slots: int = 32
+    # every spring endpoint is elastic or boundary (never liquid): the
+    # halo engine reuses resort-time sorted positions for non-elastic
+    # endpoints across a resort period, which is only exact for static
+    # (boundary) particles
+    springs_anchors_static: bool = True
 
     @property
     def n_liquid(self) -> int:

@@ -66,6 +66,7 @@ physical difference is a boundary-shell correction. The neighbor-list engine
 """
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -112,7 +113,7 @@ def _bsplit(v):
     return hi, lo
 
 
-def _dotT(a, b, exact_a=False):
+def _dotT(a, b, exact_a=False, exact_b=False):
     """a [m, k] . b [n, k] -> [m, n] (contract trailing dims on the MXU)
     at near-f32 precision via operand splitting.
 
@@ -125,11 +126,15 @@ def _dotT(a, b, exact_a=False):
     HIGHEST (6 passes, measured ~21% of the whole step); splitting each
     inexact operand 2-way into exactly-bf16 parts and dropping the lo*lo
     term gives ~3e-5 relative in 3 DEFAULT passes (2 when one operand is
-    already exactly bf16-representable, e.g. an all-ones row: exact_a)."""
+    already exactly bf16-representable: exact_a for an all-ones row,
+    exact_b for a {0,1} weight matrix — Mosaic's operand downconvert is
+    then lossless and the big-matrix split is skipped entirely)."""
     if exact_a:
         bh, bl = _bsplit(b)
         return _dd(a, bh) + _dd(a, bl)
     ah, al = _bsplit(a)
+    if exact_b:
+        return _dd(ah, b) + _dd(al, b)
     bh, bl = _bsplit(b)
     return _dd(ah, bh) + (_dd(ah, bl) + _dd(al, bh))
 
@@ -148,7 +153,7 @@ def _lsum(w, f=None):
     return _dotT(f, w)
 
 
-def _wsum3(w, slab, row0, own3=None):
+def _wsum3(w, slab, row0, own3=None, exact_w=False):
     """MXU reduction sum_j w_ij * (f_j - c) for the 3 slab rows starting at
     row0, centered on the tile's first column for f32 conditioning; if
     own3 = [(1, block)] x 3 lane rows is given, returns
@@ -157,18 +162,20 @@ def _wsum3(w, slab, row0, own3=None):
     ONE dot per call: the plain row-sum of w rides along as a fourth
     (all-ones) row of the field matrix instead of a second dot — per-tile
     MXU issues are a measured cost driver at these tiny shapes.
+    exact_w skips the bf16 split of w (pass it only for exactly-bf16
+    weight matrices, e.g. {0,1} indicators).
     """
-    out, _ = _wsum3_rw(w, slab, row0, own3)
+    out, _ = _wsum3_rw(w, slab, row0, own3, exact_w)
     return out
 
 
-def _wsum3_rw(w, slab, row0, own3=None):
+def _wsum3_rw(w, slab, row0, own3=None, exact_w=False):
     """_wsum3 that also returns the plain row-sum of w (still one dot)."""
     f = slab[row0:row0 + 3, :]                  # (3, ccol)
     c = slab[row0:row0 + 3, 0:1]                # (3, 1) tile-local center
     ones = jnp.ones((1, w.shape[1]), jnp.float32)
     fm = jnp.concatenate([f - c, ones], axis=0)  # (4, ccol)
-    s = _dotT(fm, w)                             # (4, block)
+    s = _dotT(fm, w, exact_b=exact_w)            # (4, block)
     rw = s[3:4, :]
     out = []
     for k in range(3):
@@ -372,6 +379,15 @@ def _q2_of(oc, slab, inv_h2, row0=0, own_start=0):
     return q2, dx, dy, dz
 
 
+def _r2_of(oc, slab):
+    """Unscaled pair r^2 (block, ccol) — the density/rho* tiles fold the
+    1/h^2 scale into their output constants, one mul/pair cheaper."""
+    dx = oc[0] - _srow(slab, 0)
+    dy = oc[1] - _srow(slab, 1)
+    dz = oc[2] - _srow(slab, 2)
+    return dx * dx + dy * dy + dz * dz
+
+
 def _split3(v):
     """3-way bf16 split: v == hi + mid + lo to ~6e-8 relative, each part
     exactly bf16-representable."""
@@ -416,18 +432,22 @@ def make_density_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
     """rho_i = c_rho * max(1, sum_{j != i} poly6 over pairs q^2 <= 1)
     (sphFluid.cl:472-518, all-pairs form).
 
-    Maskless: w = max(1 - q^2, 0)^3 vanishes for every column beyond the
-    window; the exact self term (q = 0 -> w = 1) is subtracted after the
-    reduction. The single scalar-per-own reduction runs on the VPU (lane
-    sum into a (block, 1) accumulator) — exact f32, and cheaper than the
-    6-pass HIGHEST MXU dot a one-quantity reduction would otherwise need."""
+    Maskless: the tile accumulates t^3 with t = max(h^2 - r^2, 0) — zero
+    for every column beyond the window, and the 1/h^2 scale is folded into
+    the output constants (one mul/pair cheaper than (1-q^2)^3); the exact
+    self term (r = 0 -> t^3 = (h^2)^3 in f32 rounding) is subtracted after
+    the reduction. The single scalar-per-own reduction runs on the VPU
+    (lane sum into a (block, 1) accumulator) — exact f32, and cheaper than
+    the 6-pass HIGHEST MXU dot a one-quantity reduction would need."""
+    h2 = np.float32(1.0) / np.float32(inv_h2)
+    self3 = np.float32(h2 * h2) * h2             # f32-rounded (h^2)^3
+    inv_h6 = np.float32(inv_h2) * np.float32(inv_h2) * np.float32(inv_h2)
 
     def prep(orow, ocol):
         return dict(oc=[ocol(k) for k in range(3)])
 
     def tile(own, slab, ctx, accs):
-        q2, _, _, _ = _q2_of(own["oc"], slab, inv_h2)
-        t = jnp.maximum(1.0 - q2, 0.0)
+        t = jnp.maximum(h2 - _r2_of(own["oc"], slab), 0.0)
         (acc,) = accs
         return (acc + jnp.sum(t * t * t, axis=1, keepdims=True),)
 
@@ -440,11 +460,11 @@ def make_density_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
                      finish_fn=finish)
 
     def call(tables, own_pack, slab_pack):
-        # subtract the exact self term (included maskless at w = 1); rows
-        # with a zeroed tile count (gated far walls, phantoms) sum 0 and
-        # clamp to c_rho exactly as before
+        # subtract the exact self term (included maskless); rows with a
+        # zeroed tile count (gated far walls, phantoms) sum 0 and clamp
+        # to c_rho exactly as before
         s = raw(tables, own_pack, slab_pack)
-        return c_rho * jnp.maximum(s - 1.0, 1.0)
+        return c_rho * jnp.maximum((s - self3) * inv_h6, 1.0)
 
     return call
 
@@ -473,7 +493,8 @@ def make_viscsurf_pass(*, block, ccol, n_blocks, inv_h2, interpret=False,
         ws = (q2 < 1.0).astype(jnp.float32)
 
         sv, rv = _wsum3_rw(wv, slab, PM_VEX)     # sum wv * ve_j (+ row-sum)
-        sx = _wsum3(ws, slab, PM_X, own3=own["xo"])  # sum ws * (x_i - x_j)
+        # ws is {0,1} — exactly bf16, no split needed
+        sx = _wsum3(ws, slab, PM_X, own3=own["xo"], exact_w=True)
 
         vx, vy, vz, stx, sty, stz = accs
         vo = own["vo"]
@@ -491,7 +512,8 @@ def make_rho_star_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
                        interpret=False, **_):
     """Predicted density (sphFluid.cl:982-1059): contribution from
     predicted positions with q*^2 < 1 strict; maskless like the density
-    pass (w = max(1-q*^2, 0)^3, exact self term subtracted after).
+    pass (t = max(h^2 - r*^2, 0), folded 1/h^2 scale, exact self term
+    subtracted after).
 
     Documented deviation: the reference restricts the pair set to the
     time-t neighborMap (cached-neighbor semantics) in addition to the
@@ -500,13 +522,15 @@ def make_rho_star_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
     (1-q*^2)^3 ~ 1e-9 — below f32 round-off of the sum. Dropping the
     time-t test saves a second q^2 evaluation per pair (~30% of the
     pass's VPU work). Pack cols: 0-2 predicted pos."""
+    h2 = np.float32(1.0) / np.float32(inv_h2)
+    self3 = np.float32(h2 * h2) * h2
+    inv_h6 = np.float32(inv_h2) * np.float32(inv_h2) * np.float32(inv_h2)
 
     def prep(orow, ocol):
         return dict(oc=[ocol(k) for k in range(3)])
 
     def tile(own, slab, ctx, accs):
-        q2s, _, _, _ = _q2_of(own["oc"], slab, inv_h2)
-        t = jnp.maximum(1.0 - q2s, 0.0)
+        t = jnp.maximum(h2 - _r2_of(own["oc"], slab), 0.0)
         (acc,) = accs
         return (acc + jnp.sum(t * t * t, axis=1, keepdims=True),)
 
@@ -520,7 +544,7 @@ def make_rho_star_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
 
     def call(tables, own_pack, slab_pack):
         s = raw(tables, own_pack, slab_pack)
-        return c_rho * jnp.maximum(s - 1.0, 1.0)
+        return c_rho * jnp.maximum((s - self3) * inv_h6, 1.0)
 
     return call
 
@@ -565,14 +589,20 @@ def make_paccel_pass(*, block, ccol, n_blocks, inv_h2, inv_h, rho0_delta,
                       ccol=ccol, n_blocks=n_blocks, interpret=interpret)
 
 
-# spring pack rows: 0-2 elastic positions, 3..34 neighbor sorted ids
-# (f32, -1 pad), 35..66 rest lengths (m), 67..98 activation force terms
-SPR_COLS = 99
-SPR_IDX0, SPR_REST0, SPR_ACTF0 = 3, 35, 67
+# spring pack rows: 0-2 elastic positions, then n_slots neighbor sorted
+# ids (f32, -1 pad), n_slots rest lengths (m), n_slots activation force
+# terms — n_slots is the scene's measured max spring degree (the
+# reference's fixed 32-slot table is mostly padding: the worm's max
+# degree is 16, mean 13.6), which halves the match loop below.
+SPR_IDX0 = 3
+
+
+def spr_cols(n_slots: int) -> int:
+    return 3 + 3 * n_slots
 
 
 def make_spring_pass(*, block, ccol, n_blocks, inv_h, h_scale, k_spring,
-                     interpret=False, **_):
+                     n_slots=32, interpret=False, **_):
     """Elastic + muscle spring forces as a pair pass over the COMPACT
     elastic slab (sphFluid.cl:709-815), replacing the [Ne,32] XLA
     position gathers (measured ~7.5 ms/step on the worm).
@@ -603,11 +633,11 @@ def make_spring_pass(*, block, ccol, n_blocks, inv_h, h_scale, k_spring,
         msum = jnp.zeros_like(q2)
         rest_acc = jnp.zeros_like(q2)
         actf_acc = jnp.zeros_like(q2)
-        for s in range(32):
+        for s in range(n_slots):
             m = (_srow(slab, SPR_IDX0 + s) == own_gid_f).astype(jnp.float32)
             msum = msum + m
-            rest_acc = rest_acc + m * _srow(slab, SPR_REST0 + s)
-            actf_acc = actf_acc + m * _srow(slab, SPR_ACTF0 + s)
+            rest_acc = rest_acc + m * _srow(slab, SPR_IDX0 + n_slots + s)
+            actf_acc = actf_acc + m * _srow(slab, SPR_IDX0 + 2 * n_slots + s)
 
         inv_q = jax.lax.rsqrt(jnp.maximum(q2, 1e-30))
         r_m = q2 * inv_q * h_scale                  # r in meters
@@ -620,7 +650,8 @@ def make_spring_pass(*, block, ccol, n_blocks, inv_h, h_scale, k_spring,
         ax, ay, az = accs
         return ax + s3[0], ay + s3[1], az + s3[2]
 
-    return _make_pass(prep, tile, own_cols=MAIN_COLS, slab_cols=SPR_COLS,
+    return _make_pass(prep, tile, own_cols=MAIN_COLS,
+                      slab_cols=spr_cols(n_slots),
                       n_outputs=3, block=block, ccol=ccol,
                       n_blocks=n_blocks, interpret=interpret)
 

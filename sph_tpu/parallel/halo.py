@@ -81,7 +81,17 @@ def make_halo_fast_multi_step(
         f"n_particles {n} must be a multiple of n_devices*block "
         f"{ndev * cfg.block}"
     )
-    assert cfg.n_blocks % ndev == 0
+    assert cfg.n_blocks % ndev == 0, (
+        f"n_blocks {cfg.n_blocks} must divide across {ndev} devices — "
+        "build the config with compute_fast_config(..., "
+        "block_multiple=lcm(8, n_devices))"
+    )
+    if layout.n_elastic > 0:
+        assert layout.springs_anchors_static, (
+            "halo engine: springs anchored to moving (liquid) particles "
+            "would reuse stale resort-time positions for up to "
+            "resort_every steps; only elastic/boundary anchors are exact"
+        )
     nb_loc = cfg.n_blocks // ndev
     n_pad_loc = nb_loc * cfg.block
     assert n_pad_loc >= halo_pad, (
@@ -294,6 +304,7 @@ def make_halo_fast_multi_step(
             # slot set is their sorted rows. K = Ne here (row side); the
             # endpoint side may also hit boundary rows — globalize those
             # from the (static within the sweep) sorted boundary positions.
+            # That reuse is only exact for static anchors, asserted below.
             rows_sorted = inv[springs.row_ids]          # [Ne]
             sidx = springs.idx
             idx_sorted = jnp.where(

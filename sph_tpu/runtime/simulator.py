@@ -60,13 +60,20 @@ class Simulator:
             from ..core.fast import compute_fast_config
             from ..parallel import make_mesh, pad_scene_to_devices
 
+            import math
+
             self._mesh = make_mesh()
             ndev = self._mesh.devices.size
-            self._fast_cfg = compute_fast_config(scene.pos, self.params)
+            bm = math.lcm(8, ndev)  # blocks must divide across devices
+            self._fast_cfg = compute_fast_config(
+                scene.pos, self.params, block_multiple=bm
+            )
             scene = pad_scene_to_devices(
                 scene, ndev * self._fast_cfg.block
             )
-            self._fast_cfg = compute_fast_config(scene.pos, self.params)
+            self._fast_cfg = compute_fast_config(
+                scene.pos, self.params, block_multiple=bm
+            )
         self.scene = scene
         self.layout = scene.layout()
         self.state, self.springs, self.membranes = scene.device_state()
@@ -124,7 +131,13 @@ class Simulator:
 
                 def run(state, springs, membranes, _h=halo_run):
                     out, overflow = _h(state, springs, membranes)
-                    self._halo_overflow = overflow
+                    # accumulate across chunk calls (a transient overflow
+                    # in an early chunk must not be masked by a clean
+                    # final chunk); lazy device max — no host sync here
+                    prev = getattr(self, "_halo_overflow", 0)
+                    self._halo_overflow = jax.numpy.maximum(
+                        jax.numpy.asarray(overflow), jax.numpy.asarray(prev)
+                    )
                     return out
 
                 self._fast_runs[n] = run
@@ -192,9 +205,12 @@ class Simulator:
             if self.engine == "exact" else 0
         )
         if self.engine == "halo":
+            # read-and-reset: the accumulator covers the span since the
+            # last check
             out["halo_overflow"] = int(
                 getattr(self, "_halo_overflow", 0)
             )
+            self._halo_overflow = 0
         bad = {k: v for k, v in out.items() if v > 0}
         if bad:
             logger.warning(

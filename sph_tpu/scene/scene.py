@@ -91,7 +91,30 @@ class Scene:
             boundary_range=_contiguous_range(t, BOUNDARY_PARTICLE),
             muscle_model=self.muscle_model,
             springs_elastic_only=self._springs_elastic_only(),
+            spring_slots=self._spring_slots(),
+            springs_anchors_static=self._springs_anchors_static(),
         )
+
+    def _springs_anchors_static(self) -> bool:
+        """True when every spring endpoint is elastic or boundary (the
+        halo engine's static-anchor assumption; a spring anchored to a
+        moving liquid particle would use stale geometry there)."""
+        if not len(self.spring_rows):
+            return True
+        t = self.ptype
+        lq0, lq1 = _contiguous_range(t, LIQUID_PARTICLE)
+        used = self.spring_idx[self.spring_idx >= 0]
+        ends = np.concatenate([self.spring_rows, used])
+        return not bool(((ends >= lq0) & (ends < lq1)).any())
+
+    def _spring_slots(self) -> int:
+        """Highest used partner slot + 1 (slots need not be left-packed),
+        rounded up to a multiple of 4; 32 when there are no springs."""
+        used = self.spring_idx >= 0
+        if not used.any():
+            return 32
+        last = int(np.max(np.where(used, np.arange(used.shape[1]), -1))) + 1
+        return -(-last // 4) * 4
 
     def _springs_elastic_only(self) -> bool:
         if not len(self.spring_rows):
