@@ -49,7 +49,7 @@ def time_step(name, ctx_mod, params_mod=None, reps=30):
 full = time_step("full inner step", ctx)
 
 no_el = dict(ctx)
-for k in ("springs_s", "spr_static", "spr_mid", "spr_tables"):
+for k in ("springs_s", "spr_static", "spr_onehot", "spr_tables"):
     no_el.pop(k, None)
 m_el = full - time_step("w/o elastic", no_el)
 

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SimParams
-from ..constants import BOUNDARY_PARTICLE, LIQUID_PARTICLE
+from ..constants import BOUNDARY_PARTICLE, LIQUID_PARTICLE, MUSCLE_COUNT
 from ..models import muscle
 from ..ops import pair_kernels as pk
 from ..ops import vec3
@@ -432,9 +432,17 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
             rest_p = jnp.zeros((n_slots, mcap), jnp.float32).at[
                 :, :n_el].set(rest_c.T)
             ctx["spr_static"] = jnp.concatenate([idx_p, rest_p], axis=0)
-            ctx["spr_mid"] = jnp.where(
+            mid = jnp.where(
                 sidx >= 0, springs.muscle[r_safe, :n_slots], 0
             )                                            # [n_el,k]
+            # per-slot muscle one-hot, built ONCE per resort (the
+            # [n_el*k, n_act] f32 compare was measurably rebuilt every
+            # step when left inside inner_step)
+            n_act = int(MUSCLE_COUNT)
+            ctx["spr_onehot"] = (
+                mid.reshape(-1)[:, None]
+                == jnp.arange(1, n_act + 1, dtype=mid.dtype)
+            ).astype(jnp.float32)                        # [n_el*k, n_act]
             # gate: own block contains at least one elastic row
             own_el = (
                 jnp.zeros(cfg.n_pad, jnp.float32).at[els].set(1.0)
@@ -518,15 +526,16 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
             cfg, 1.0
         )[: cfg.n_alloc]
         rho_s = jnp.where(rho_s <= 0, 1.0, rho_s)  # padding guard
+        inv_rho_s = 1.0 / rho_s  # kernels take 1/rho (no per-pair divide)
 
         # ---- external forces (viscosity + surface tension fused) ----
-        main1 = _pack([xs, ys, zs, vxs, vys, vzs, rho_s, isb_s])
+        main1 = _pack([xs, ys, zs, vxs, vys, vzs, inv_rho_s, isb_s])
         vx, vy, vz, stx, sty, stz = viscsurf_pass(force_tables, main1, main1)
-        own_rho = rho_s[: cfg.n_pad]
+        own_irho = inv_rho_s[: cfg.n_pad]
         not_b = ctx["not_b"]
-        aex = (c_visc * vx / own_rho + c_surf * stx + gx) * not_b
-        aey = (c_visc * vy / own_rho + c_surf * sty + gy) * not_b
-        aez = (c_visc * vz / own_rho + c_surf * stz + gz) * not_b
+        aex = (c_visc * vx * own_irho + c_surf * stx + gx) * not_b
+        aey = (c_visc * vy * own_irho + c_surf * sty + gy) * not_b
+        aez = (c_visc * vz * own_irho + c_surf * stz + gz) * not_b
 
         # ---- elastic + muscle forces (sorted-space gather/scatter) ----
         if "spr_static" in ctx:
@@ -534,19 +543,13 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
             n_el = els.shape[0]
             mcap = ctx["spr_static"].shape[1]
             # per-slot activation force term via one-hot contraction
-            # (a gather from the 96-entry table costs ~15 ns/elem)
-            mid = ctx["spr_mid"]
-            n_act = act.shape[0]  # matches elastic.elastic_accel's one-hot
-            oh = (
-                mid[:, :, None]
-                == jnp.arange(1, n_act + 1, dtype=mid.dtype)
-            ).astype(jnp.float32)
-            actf = jnp.einsum(
-                "nsm,m->ns", oh,
+            # (a gather from the 96-entry table costs ~15 ns/elem); the
+            # one-hot matrix is static per resort and lives in ctx
+            actf = jnp.matmul(
+                ctx["spr_onehot"],
                 act * np.float32(params.muscle_force),
-                preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
-            )
+            ).reshape(n_el, n_slots)
             actf_p = jnp.zeros((n_slots, mcap), jnp.float32).at[
                 :, :n_el].set(actf.T)
 
@@ -597,7 +600,7 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
             p_s = p_s + jnp.maximum(0.0, (rho_star - rho0) * delta_c)
             pa_pack = _pack([
                 xs, ys, zs,
-                _pad_field(jnp.maximum(rho_star, 1.0), cfg, 1.0),
+                _pad_field(1.0 / jnp.maximum(rho_star, 1.0), cfg, 1.0),
                 _pad_field(p_s, cfg),
             ])
             fx, fy, fz = paccel_pass(force_tables, pa_pack, pa_pack)
@@ -645,54 +648,52 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
 
         # ---- membranes ----
         if "mem_vidx" in ctx:
+            # TPU gathers cost ~7.5 ns per ROW regardless of row width:
+            # everything below gathers 8-wide rows of stacked matrices
+            # (two gathers total) instead of per-field scalars (the
+            # original 42 + 9 per-field gathers measured ~5 ms/step)
             vidx = ctx["mem_vidx"]
+            n_tri = vidx.shape[0]
+            xyz_n = jnp.stack(
+                [xn, yn, zn, jnp.zeros_like(xn)], axis=1
+            )                                            # [n_pad, 4]
+            vabc = xyz_n[vidx.reshape(-1)].reshape(n_tri, 3, 4)
+            a3 = vabc[:, 0, :3]
+            u3 = vabc[:, 1, :3] - a3
+            w3 = vabc[:, 2, :3] - a3
+            tn = jnp.cross(u3, w3)                       # [M, 3]
+            tl2 = jnp.sum(tn * tn, axis=1, keepdims=True)
+            til = jnp.where(
+                tl2 > 0, jax.lax.rsqrt(jnp.maximum(tl2, 1e-30)), 0.0
+            )
+            tri8 = jnp.concatenate(
+                [tn * til, a3, jnp.zeros((n_tri, 2), jnp.float32)], axis=1
+            )                                            # [M, 8] (n, a)
 
-            def at_new(rows):
-                return (xn[rows], yn[rows], zn[rows])
-            ax_, ay_, az_ = at_new(vidx[:, 0])
-            bx_, by_, bz_ = at_new(vidx[:, 1])
-            cx_, cy_, cz_ = at_new(vidx[:, 2])
-            ux, uy, uz = bx_ - ax_, by_ - ay_, bz_ - az_
-            wx, wy, wz = cx_ - ax_, cy_ - ay_, cz_ - az_
-            tnx = uy * wz - uz * wy
-            tny = uz * wx - ux * wz
-            tnz = ux * wy - uy * wx
-            tl2 = tnx * tnx + tny * tny + tnz * tnz
-            til = jnp.where(tl2 > 0, jax.lax.rsqrt(jnp.maximum(tl2, 1e-30)),
-                            0.0)
-            tnx, tny, tnz = tnx * til, tny * til, tnz * til
-
-            # pack rows for elastic particles: 7 x (n, a)
             t_ok = ctx["mem_pt_ok"]
             t_safe = ctx["mem_pt_safe"]
-            fields = []
-            for tr in range(7):
-                ti = t_safe[:, tr]
-                m = t_ok[:, tr]
-                fields += [
-                    jnp.where(m, tnx[ti], 0.0), jnp.where(m, tny[ti], 0.0),
-                    jnp.where(m, tnz[ti], 0.0),
-                    jnp.where(m, ax_[ti], 0.0), jnp.where(m, ay_[ti], 0.0),
-                    jnp.where(m, az_[ti], 0.0),
-                ]
-            tri_mat = jnp.stack(fields, axis=0)          # [42, n_el]
-            # compact membrane slab: elastic columns only, in sorted order
             els = ctx["els"]
             n_el = els.shape[0]
+            g = jnp.where(
+                t_ok.reshape(-1, 1), tri8[t_safe.reshape(-1)], 0.0
+            )                                            # [n_el*7, 8]
+            # [n_el, 7, 6] -> rows 6t..6t+5 = slot t's (n, a) per column
+            tri_mat = (
+                g[:, :6].reshape(n_el, 42).T
+            )                                            # [42, n_el]
             mcap = -(-n_el // ALIGN) * ALIGN + cfg.ccol
+            # rows 42-47: x(t+1) and x(t) of the elastic columns — one
+            # 8-wide row gather of the stacked fields
+            pos6 = jnp.stack(
+                [xn, yn, zn, xs[: cfg.n_pad], ys[: cfg.n_pad],
+                 zs[: cfg.n_pad], jnp.zeros_like(xn), jnp.zeros_like(xn)],
+                axis=1,
+            )[els]                                       # [n_el, 8]
 
-            def mrow(a, fill):
-                v = a[els]
-                return jnp.full((mcap,), fill, jnp.float32).at[:n_el].set(v)
-
-            mem_pack = jnp.zeros((pk.MEM_COLS, mcap), jnp.float32)
+            mem_pack = jnp.full((pk.MEM_COLS, mcap), far, jnp.float32)
+            mem_pack = mem_pack.at[:42, :].set(0.0)
             mem_pack = mem_pack.at[:42, :n_el].set(tri_mat)
-            mem_pack = mem_pack.at[pk.PMM_XN].set(mrow(xn, far))
-            mem_pack = mem_pack.at[pk.PMM_YN].set(mrow(yn, far))
-            mem_pack = mem_pack.at[pk.PMM_ZN].set(mrow(zn, far))
-            mem_pack = mem_pack.at[pk.PMM_XT].set(mrow(xs, far))
-            mem_pack = mem_pack.at[pk.PMM_YT].set(mrow(ys, far))
-            mem_pack = mem_pack.at[pk.PMM_ZT].set(mrow(zs, far))
+            mem_pack = mem_pack.at[42:48, :n_el].set(pos6[:, :6].T)
 
             mnx, mny, mnz, mws, mw2 = membrane_pass(
                 ctx["mem_tables"], own_pack, mem_pack,

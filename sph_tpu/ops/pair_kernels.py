@@ -476,6 +476,10 @@ def make_viscsurf_pass(*, block, ccol, n_blocks, inv_h2, interpret=False,
     (x_i - x_j). Boundary neighbors contribute wall normals as velocity
     (pack's VE columns pre-substituted). Outputs (vx, vy, vz, sx, sy, sz).
 
+    The PM_RHO slab row carries 1/rho (pre-inverted by the caller): a
+    per-pair divide costs several VPU passes, a per-particle reciprocal
+    in the glue is one vectorized op over N.
+
     Maskless: wv = max(1-q, 0)/rho_j vanishes beyond the window; the self
     terms cancel analytically (visc: wv_ii * ve_i appears in both the
     field sum and ve_i * row-sum; surf: x_i - x_i = 0)."""
@@ -488,8 +492,7 @@ def make_viscsurf_pass(*, block, ccol, n_blocks, inv_h2, interpret=False,
     def tile(own, slab, ctx, accs):
         q2, _, _, _ = _q2_of(own["oc"], slab, inv_h2)
         t = jnp.maximum(1.0 - jnp.sqrt(q2), 0.0)
-        inv_rho = 1.0 / _srow(slab, PM_RHO)
-        wv = t * inv_rho
+        wv = t * _srow(slab, PM_RHO)             # PM_RHO carries 1/rho
         ws = (q2 < 1.0).astype(jnp.float32)
 
         sv, rv = _wsum3_rw(wv, slab, PM_VEX)     # sum wv * ve_j (+ row-sum)
@@ -554,11 +557,14 @@ def make_paccel_pass(*, block, ccol, n_blocks, inv_h2, inv_h, rho0_delta,
     """Pressure-force pair sums (sphFluid.cl:1101-1212): for 0 < q < 1
     pairs, term = (1-q)^2 * 0.5 * (p_i + p_j)/rho*_j, anti-clump
     substitution below q = 0.25; direction = unit(x_i - x_j), scaled by
-    inv_h to match the reference's spiky gradient.
-    Pack cols: [x, y, z, rho*, p] (time-t positions). Maskless: the
-    q^2 > 0 factor excludes self (and coincident pairs, matching the
-    reference's zero-distance guard), q^2 < 1 excludes everything beyond
-    the window."""
+    inv_h to match the reference's spiky gradient (applied once to the
+    reduced (1, block) outputs, not per pair).
+    Pack cols: [x, y, z, 1/rho*, p] (time-t positions; rho* pre-inverted
+    by the caller — a per-pair divide costs several VPU passes).
+    Maskless: the q^2 > 0 factor excludes self (and coincident pairs,
+    matching the reference's zero-distance guard); beyond the window the
+    far branch max(1-q, 0)^2 vanishes and q >= 1 > 0.25 never selects the
+    close branch, so no q < 1 test is needed."""
 
     def prep(orow, ocol):
         return dict(oc=[ocol(k) for k in range(3)], po=ocol(4),
@@ -566,27 +572,32 @@ def make_paccel_pass(*, block, ccol, n_blocks, inv_h2, inv_h, rho0_delta,
 
     def tile(own, slab, ctx, accs):
         q2, _, _, _ = _q2_of(own["oc"], slab, inv_h2)
-        ok = (q2 < 1.0) & (q2 > 0.0)
         # one rsqrt yields both q (= q2 * rsqrt(q2)) and 1/q — the sqrt +
         # divide pair it replaces was ~30% of this tile's VPU work
         inv_q = jax.lax.rsqrt(jnp.maximum(q2, 1e-30))
         q = q2 * inv_q
-        one_m_q = 1.0 - q
-        inv_srho = 1.0 / _srow(slab, 3)
+        t = jnp.maximum(1.0 - q, 0.0)
+        inv_srho = _srow(slab, 3)                # pre-inverted rho*
         sp = _srow(slab, 4)
-        far = one_m_q * one_m_q * 0.5 * (own["po"] + sp)
+        far = t * t * 0.5 * (own["po"] + sp)
         cm = 0.25 - q
         close = cm * cm * 0.5 * rho0_delta
         term = jnp.where(q < 0.25, close, far) * inv_srho
-        w = jnp.where(ok, term * inv_q * inv_h, 0.0)
+        w = jnp.where(q2 > 0.0, term * inv_q, 0.0)
 
         s = _wsum3(w, slab, 0, own3=own["xo"])   # sum w * (x_i - x_j)
         ax, ay, az = accs
         return ax + s[0], ay + s[1], az + s[2]
 
-    return _make_pass(prep, tile, own_cols=PACC_COLS,
-                      slab_cols=PACC_COLS, n_outputs=3, block=block,
-                      ccol=ccol, n_blocks=n_blocks, interpret=interpret)
+    raw = _make_pass(prep, tile, own_cols=PACC_COLS,
+                     slab_cols=PACC_COLS, n_outputs=3, block=block,
+                     ccol=ccol, n_blocks=n_blocks, interpret=interpret)
+
+    def call(tables, own_pack, slab_pack):
+        fx, fy, fz = raw(tables, own_pack, slab_pack)
+        return fx * inv_h, fy * inv_h, fz * inv_h
+
+    return call
 
 
 # spring pack rows: 0-2 elastic positions, then n_slots neighbor sorted
@@ -707,7 +718,14 @@ def make_membrane_pass(*, block, ccol, n_blocks, inv_h2, r0,
     cutoff and the r0-reach weight vanish; non-membrane columns carry
     all-zero triangle normals (cnt = 0 excludes them); own rows receiving
     the correction are liquid-masked by the caller.
-    Outputs: n_ci (3), w_sum, w2_sum."""
+    Outputs: n_ci (3), w_sum, w2_sum.
+
+    Reduction layout: the signed triangle normals are combined into ONE
+    per-pair vector v = sum_t sgn_t * n_t on the VPU (3 madds per
+    triangle), and the five outputs are exact f32 VPU lane sums into
+    (block, 1) accumulators — the previous form issued 7 MXU reduction
+    dots per tile (one per triangle slot) plus two row-sum dots, and
+    measured dot-issue-bound (~6 ms/step on the worm for ~10k elastic)."""
 
     def prep(orow, ocol):
         return dict(oc=[ocol(k) for k in range(6)])
@@ -720,8 +738,10 @@ def make_membrane_pass(*, block, ccol, n_blocks, inv_h2, r0,
         xno, yno, zno = oc[3], oc[4], oc[5]
         # per-triangle side signs: s = nt . (xn_own - at); nt == 0 rows
         # (absent triangles) give |nt|^2 == 0 and are skipped via has_t
-        sgns = []
         cnt = jnp.zeros_like(q2t)
+        vx = jnp.zeros_like(q2t)
+        vy = jnp.zeros_like(q2t)
+        vz = jnp.zeros_like(q2t)
         for t in range(7):
             ntx = _srow(slab, 6 * t + 0)
             nty = _srow(slab, 6 * t + 1)
@@ -733,8 +753,10 @@ def make_membrane_pass(*, block, ccol, n_blocks, inv_h2, r0,
                  + (zno - atz) * ntz)
             has_t = (ntx * ntx + nty * nty + ntz * ntz > 0.0) & (s != 0.0)
             sgn = jnp.where(has_t, jnp.sign(s), 0.0)
-            sgns.append(sgn)
             cnt = cnt + jnp.abs(sgn)
+            vx = vx + sgn * ntx
+            vy = vy + sgn * nty
+            vz = vz + sgn * ntz
 
         inv_cnt = 1.0 / jnp.maximum(cnt, 1.0)
         is_entry = ok & (cnt > 0.0)
@@ -746,16 +768,17 @@ def make_membrane_pass(*, block, ccol, n_blocks, inv_h2, r0,
         w = jnp.where(is_entry, jnp.maximum(0.0, (r0 - dist) / r0), 0.0)
         wc = w * inv_cnt
 
+        def ls(m):
+            return jnp.sum(m, axis=1, keepdims=True)
+
         ax, ay, az, ws, w2 = accs
-        for t in range(7):
-            nav = _lsum(wc * sgns[t], slab[6 * t:6 * t + 3, :])  # (3, block)
-            ax = ax + nav[0:1, :]
-            ay = ay + nav[1:2, :]
-            az = az + nav[2:3, :]
-        ws = ws + _lsum(w)
-        w2 = w2 + _lsum(w * (r0 - dist))
-        return ax, ay, az, ws, w2
+        return (ax + ls(wc * vx), ay + ls(wc * vy), az + ls(wc * vz),
+                ws + ls(w), w2 + ls(w * (r0 - dist)))
+
+    def finish(accs):
+        return tuple(_col_to_row(a) for a in accs)
 
     return _make_pass(prep, tile, own_cols=OWN_COLS,
                       slab_cols=MEM_COLS, n_outputs=5, block=block,
-                      ccol=ccol, n_blocks=n_blocks, interpret=interpret)
+                      ccol=ccol, n_blocks=n_blocks, interpret=interpret,
+                      finish_fn=finish)

@@ -354,15 +354,15 @@ def make_halo_fast_multi_step(
             main0 = F._pack([xs, ys, zs, vxs, vys, vzs, ones, isb_s])
             rho_o = density_pass(tables, main0, main0)
             rho_o = jnp.where(rho_o <= 0, 1.0, rho_o)
-            (rho_s,) = exchange([rho_o], [1.0])
-            rho_s = jnp.where(rho_s <= 0, 1.0, rho_s)
+            inv_rho_o = 1.0 / rho_o  # kernels take 1/rho (no pair divide)
+            (inv_rho_s,) = exchange([inv_rho_o], [1.0])
 
-            main1 = F._pack([xs, ys, zs, vxs, vys, vzs, rho_s, isb_s])
+            main1 = F._pack([xs, ys, zs, vxs, vys, vzs, inv_rho_s, isb_s])
             vx, vy, vz, stx, sty, stz = viscsurf_pass(
                 force_tables, main1, main1)
-            aex = (c_visc * vx / rho_o + c_surf * stx + gx) * not_b
-            aey = (c_visc * vy / rho_o + c_surf * sty + gy) * not_b
-            aez = (c_visc * vz / rho_o + c_surf * stz + gz) * not_b
+            aex = (c_visc * vx * inv_rho_o + c_surf * stx + gx) * not_b
+            aey = (c_visc * vy * inv_rho_o + c_surf * sty + gy) * not_b
+            aez = (c_visc * vz * inv_rho_o + c_surf * stz + gz) * not_b
 
             if have_springs:
                 ebuf = globalize_elastic(xo, yo, zo)
@@ -428,9 +428,9 @@ def make_halo_fast_multi_step(
                 iter_pack = F._pack([xsts, ysts, zsts])
                 rho_star = rho_star_pass(tables, iter_pack, iter_pack)
                 p_o = p_o + jnp.maximum(0.0, (rho_star - rho0) * delta_c)
-                rs_s, p_s = exchange(
-                    [jnp.maximum(rho_star, 1.0), p_o], [1.0, 0.0])
-                pa_pack = F._pack([xs, ys, zs, rs_s, p_s])
+                irs_s, p_s = exchange(
+                    [1.0 / jnp.maximum(rho_star, 1.0), p_o], [1.0, 0.0])
+                pa_pack = F._pack([xs, ys, zs, irs_s, p_s])
                 fx, fy, fz = paccel_pass(force_tables, pa_pack, pa_pack)
                 coef = jnp.where(bmask, 0.0, c_press / rho_star)
                 apx, apy, apz = coef * fx, coef * fy, coef * fz

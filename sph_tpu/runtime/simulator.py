@@ -158,9 +158,22 @@ class Simulator:
             chunk = self._fast_chunk
             state = self.state
             for size in [chunk] * (n // chunk) + [1] * (n % chunk):
+                prev_pos = state.pos
                 state = self._fast_run_for(size)(
                     state, self.springs, self.membranes
                 )
+                if size > 1:
+                    # window-staleness diagnostic: pair windows are exact
+                    # at sort time only; drift within a resort period can
+                    # pull just-out-of-window pairs inside reach h.
+                    # Lazy device max over chunks — no host sync here.
+                    drift = jax.numpy.max(
+                        jax.numpy.abs(state.pos - prev_pos)
+                    )
+                    prev = getattr(self, "_window_drift", 0.0)
+                    self._window_drift = jax.numpy.maximum(
+                        drift, jax.numpy.asarray(prev, drift.dtype)
+                    )
             return state
         return multi_step(self.state, self.springs, self.membranes,
                           self.params, self.layout, n)
@@ -218,6 +231,21 @@ class Simulator:
                 "being dropped; rebuild with larger capacities",
                 self.step_count, bad,
             )
+        if self.engine in ("fast", "halo"):
+            # worst per-resort-period drift since the last check (units of
+            # h); beyond ~h/4 the stale-window deviation stops being
+            # negligible — shorten resort_every (BASELINE.md "window
+            # staleness" quantifies the effect)
+            drift = float(getattr(self, "_window_drift", 0.0))
+            self._window_drift = 0.0
+            out["window_drift_h"] = drift / self.params.h
+            if out["window_drift_h"] > 0.25:
+                logger.warning(
+                    "window drift %.2f h within a resort period at step %d "
+                    "— marginal pairs may be missed; lower resort_every "
+                    "for these dynamics",
+                    out["window_drift_h"], self.step_count,
+                )
         return out
 
     def step_blocking(self, n: int = 1) -> float:
