@@ -23,7 +23,11 @@ params = SimParams()
 scene = generate_worm_scene(params)
 state, springs, membranes = scene.device_state()
 layout = scene.layout()
-cfg = compute_fast_config(scene.pos, params)
+cfg = compute_fast_config(
+    scene.pos, params,
+    block=int(os.environ.get("SPH_BLOCK", "256")),
+    ccol=int(os.environ.get("SPH_CCOL", "256")),
+)
 print(f"scene: {cfg.n_particles}", flush=True)
 
 sort_ctx, carry_of, inner_step, _ = _make_step_parts(params, layout, cfg)

@@ -153,7 +153,7 @@ def _lsum(w, f=None):
     return _dotT(f, w)
 
 
-def _wsum3(w, slab, row0, own3=None, exact_w=False):
+def _wsum3(w, slab, row0, own3=None, exact_w=False, round_w=False):
     """MXU reduction sum_j w_ij * (f_j - c) for the 3 slab rows starting at
     row0, centered on the tile's first column for f32 conditioning; if
     own3 = [(1, block)] x 3 lane rows is given, returns
@@ -163,18 +163,28 @@ def _wsum3(w, slab, row0, own3=None, exact_w=False):
     (all-ones) row of the field matrix instead of a second dot — per-tile
     MXU issues are a measured cost driver at these tiny shapes.
     exact_w skips the bf16 split of w (pass it only for exactly-bf16
-    weight matrices, e.g. {0,1} indicators).
+    weight matrices, e.g. {0,1} indicators). round_w rounds w to bf16
+    instead of splitting it (2 dot passes instead of 3): the FIELD
+    operand stays exactly split, so the error is a ~4e-3 perturbation of
+    the pair WEIGHT only — safe where w is a smooth positive kernel
+    factor with no cancellation amplification (pressure/viscosity/
+    boundary weights; w_ij == w_ji bitwise, so pair antisymmetry and
+    momentum are preserved) and NOT for the spring pass, whose (r - rest)
+    cancellation amplified exactly this rounding ~100x in round 2.
     """
-    out, _ = _wsum3_rw(w, slab, row0, own3, exact_w)
+    out, _ = _wsum3_rw(w, slab, row0, own3, exact_w, round_w)
     return out
 
 
-def _wsum3_rw(w, slab, row0, own3=None, exact_w=False):
+def _wsum3_rw(w, slab, row0, own3=None, exact_w=False, round_w=False):
     """_wsum3 that also returns the plain row-sum of w (still one dot)."""
     f = slab[row0:row0 + 3, :]                  # (3, ccol)
     c = slab[row0:row0 + 3, 0:1]                # (3, 1) tile-local center
     ones = jnp.ones((1, w.shape[1]), jnp.float32)
     fm = jnp.concatenate([f - c, ones], axis=0)  # (4, ccol)
+    if round_w and not exact_w:
+        w = w.astype(jnp.bfloat16).astype(jnp.float32)
+        exact_w = True
     s = _dotT(fm, w, exact_b=exact_w)            # (4, block)
     rw = s[3:4, :]
     out = []
@@ -489,11 +499,16 @@ def make_viscsurf_pass(*, block, ccol, n_blocks, inv_h2, interpret=False,
                     vo=[orow(PM_VEX + k) for k in range(3)],
                     xo=[orow(k) for k in range(3)])
 
+    h = np.float32(1.0) / np.float32(np.sqrt(inv_h2))
+    h2 = np.float32(1.0) / np.float32(inv_h2)
+
     def tile(own, slab, ctx, accs):
-        q2, _, _, _ = _q2_of(own["oc"], slab, inv_h2)
-        t = jnp.maximum(1.0 - jnp.sqrt(q2), 0.0)
+        # r-domain: t = max(h - r, 0) = h * max(1 - q, 0); the extra h
+        # factor is divided back out of the reduced outputs in call()
+        r2 = _r2_of(own["oc"], slab)
+        t = jnp.maximum(h - jnp.sqrt(r2), 0.0)
         wv = t * _srow(slab, PM_RHO)             # PM_RHO carries 1/rho
-        ws = (q2 < 1.0).astype(jnp.float32)
+        ws = (r2 < h2).astype(jnp.float32)
 
         sv, rv = _wsum3_rw(wv, slab, PM_VEX)     # sum wv * ve_j (+ row-sum)
         # ws is {0,1} — exactly bf16, no split needed
@@ -506,9 +521,16 @@ def make_viscsurf_pass(*, block, ccol, n_blocks, inv_h2, interpret=False,
         vz = vz + sv[2] - vo[2] * rv
         return vx, vy, vz, stx + sx[0], sty + sx[1], stz + sx[2]
 
-    return _make_pass(prep, tile, own_cols=MAIN_COLS,
-                      slab_cols=MAIN_COLS, n_outputs=6, block=block,
-                      ccol=ccol, n_blocks=n_blocks, interpret=interpret)
+    raw = _make_pass(prep, tile, own_cols=MAIN_COLS,
+                     slab_cols=MAIN_COLS, n_outputs=6, block=block,
+                     ccol=ccol, n_blocks=n_blocks, interpret=interpret)
+    inv_h = np.float32(np.sqrt(inv_h2))
+
+    def call(tables, own_pack, slab_pack):
+        vx, vy, vz, stx, sty, stz = raw(tables, own_pack, slab_pack)
+        return vx * inv_h, vy * inv_h, vz * inv_h, stx, sty, stz
+
+    return call
 
 
 def make_rho_star_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
@@ -570,20 +592,27 @@ def make_paccel_pass(*, block, ccol, n_blocks, inv_h2, inv_h, rho0_delta,
         return dict(oc=[ocol(k) for k in range(3)], po=ocol(4),
                     xo=[orow(k) for k in range(3)])
 
+    h = np.float32(1.0) / np.float32(inv_h)
+    h4 = np.float32(h / 4.0)
+    rho0_delta_f = np.float32(rho0_delta)
+
     def tile(own, slab, ctx, accs):
-        q2, _, _, _ = _q2_of(own["oc"], slab, inv_h2)
-        # one rsqrt yields both q (= q2 * rsqrt(q2)) and 1/q — the sqrt +
+        # r-domain: every q-term is computed as h*(that term) so the
+        # inv_h2 pair-scale and the common 0.5 factor fold into the
+        # output constant in call() — two fewer VPU ops per pair
+        r2 = _r2_of(own["oc"], slab)
+        # one rsqrt yields both r (= r2 * rsqrt(r2)) and 1/r — the sqrt +
         # divide pair it replaces was ~30% of this tile's VPU work
-        inv_q = jax.lax.rsqrt(jnp.maximum(q2, 1e-30))
-        q = q2 * inv_q
-        t = jnp.maximum(1.0 - q, 0.0)
+        inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
+        r = r2 * inv_r
+        t = jnp.maximum(h - r, 0.0)              # h * (1 - q)
         inv_srho = _srow(slab, 3)                # pre-inverted rho*
         sp = _srow(slab, 4)
-        far = t * t * 0.5 * (own["po"] + sp)
-        cm = 0.25 - q
-        close = cm * cm * 0.5 * rho0_delta
-        term = jnp.where(q < 0.25, close, far) * inv_srho
-        w = jnp.where(q2 > 0.0, term * inv_q, 0.0)
+        far = t * t * (own["po"] + sp)
+        cm = h4 - r                              # h * (0.25 - q)
+        close = cm * cm * rho0_delta_f
+        term = jnp.where(cm > 0.0, close, far) * inv_srho
+        w = jnp.where(r2 > 0.0, term * inv_r, 0.0)
 
         s = _wsum3(w, slab, 0, own3=own["xo"])   # sum w * (x_i - x_j)
         ax, ay, az = accs
@@ -592,10 +621,14 @@ def make_paccel_pass(*, block, ccol, n_blocks, inv_h2, inv_h, rho0_delta,
     raw = _make_pass(prep, tile, own_cols=PACC_COLS,
                      slab_cols=PACC_COLS, n_outputs=3, block=block,
                      ccol=ccol, n_blocks=n_blocks, interpret=interpret)
+    # in-kernel w = 2h * (reference w): the r-domain terms carry h^2 and
+    # drop the common 0.5; with the reference's final inv_h gradient
+    # scale the reduced outputs need x inv_h/(2h) = 0.5 * inv_h^2
+    out_c = np.float32(0.5) * np.float32(inv_h) * np.float32(inv_h)
 
     def call(tables, own_pack, slab_pack):
         fx, fy, fz = raw(tables, own_pack, slab_pack)
-        return fx * inv_h, fy * inv_h, fz * inv_h
+        return fx * out_c, fy * out_c, fz * out_c
 
     return call
 
@@ -681,19 +714,23 @@ def make_boundary_pass(*, block, ccol, n_blocks, inv_h2, r0,
     def prep(orow, ocol):
         return dict(oc=[ocol(k) for k in range(6)])
 
+    inv_r0 = np.float32(1.0 / r0)
+
     def tile(own, slab, ctx, accs):
         oc = own["oc"]
-        q2t, _, _, _ = _q2_of(oc, slab, inv_h2)
         isb = _srow(slab, PB_ISB)
         # no self-exclusion: own boundary rows that would self-pair have
-        # their outputs pinned by the caller anyway
-        ok = (q2t <= 1.0) & (isb > 0.0)
-
+        # their outputs pinned by the caller anyway. The reference's
+        # additional time-t h-cutoff is dropped: the weight reaches only
+        # r0 = h/2 on post-step distances, so a pair it would exclude
+        # must close from > h to < h/2 in ONE step — CFL-violating.
+        # Multiplying by the {0,1} isb flag masks pad columns (which are
+        # also far) and, on the halo engine's full slab, moving columns.
         dnx = oc[3] - _srow(slab, PB_X)
         dny = oc[4] - _srow(slab, PB_Y)
         dnz = oc[5] - _srow(slab, PB_Z)
         dist = jnp.sqrt(dnx * dnx + dny * dny + dnz * dnz)
-        w = jnp.where(ok, jnp.maximum(0.0, (r0 - dist) / r0), 0.0)
+        w = jnp.maximum(0.0, (r0 - dist) * inv_r0) * isb
         wd = w * (r0 - dist)
 
         sn, rw = _wsum3_rw(w, slab, PB_NX)       # sum w * n_j (+ row-sum)
@@ -732,16 +769,17 @@ def make_membrane_pass(*, block, ccol, n_blocks, inv_h2, r0,
 
     def tile(own, slab, ctx, accs):
         oc = own["oc"]
-        q2t, _, _, _ = _q2_of(oc, slab, inv_h2, row0=PMM_XT)
-        ok = q2t <= 1.0
-
+        # (the reference's additional time-t h-cutoff is dropped, same
+        # CFL argument as the boundary pass: the weight reaches only
+        # r0 = h/2 on post-step distances)
         xno, yno, zno = oc[3], oc[4], oc[5]
         # per-triangle side signs: s = nt . (xn_own - at); nt == 0 rows
         # (absent triangles) give |nt|^2 == 0 and are skipped via has_t
-        cnt = jnp.zeros_like(q2t)
-        vx = jnp.zeros_like(q2t)
-        vy = jnp.zeros_like(q2t)
-        vz = jnp.zeros_like(q2t)
+        shape = (xno.shape[0], slab.shape[1])
+        cnt = jnp.zeros(shape, jnp.float32)
+        vx = jnp.zeros(shape, jnp.float32)
+        vy = jnp.zeros(shape, jnp.float32)
+        vz = jnp.zeros(shape, jnp.float32)
         for t in range(7):
             ntx = _srow(slab, 6 * t + 0)
             nty = _srow(slab, 6 * t + 1)
@@ -759,7 +797,7 @@ def make_membrane_pass(*, block, ccol, n_blocks, inv_h2, r0,
             vz = vz + sgn * ntz
 
         inv_cnt = 1.0 / jnp.maximum(cnt, 1.0)
-        is_entry = ok & (cnt > 0.0)
+        is_entry = cnt > 0.0
 
         dnx = xno - _srow(slab, PMM_XN)
         dny = yno - _srow(slab, PMM_YN)
