@@ -153,9 +153,11 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--restore", default=None)
     p.add_argument("--engine", default="auto",
-                   choices=["auto", "exact", "fast"],
+                   choices=["auto", "exact", "fast", "halo"],
                    help="exact = reference 32-cap neighbor lists; "
-                        "fast = blocked Pallas pair engine")
+                        "fast = blocked Pallas pair engine; halo = fast "
+                        "engine sharded over all devices (z-slab halo "
+                        "exchange)")
     p.add_argument("-v", "--verbose", action="store_true")
     p.set_defaults(fn=cmd_run)
 

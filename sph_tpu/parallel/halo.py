@@ -51,6 +51,28 @@ except AttributeError:  # pragma: no cover
 ALIGN = pk.ALIGN
 
 
+def measure_halo_pad(pos, params: SimParams, cfg: F.FastConfig,
+                     margin: float = 1.5) -> int:
+    """Scene-measured halo band size (rows exchanged per edge).
+
+    An edge block's interaction window reaches into the neighbouring
+    z-slab by at most its own (partial) z-row plus one full z-row, plus
+    the ccol tile overhang. The bound used is ``margin`` x the densest
+    two consecutive z-rows of the build-time scene + ccol, ALIGN-rounded
+    — resort-time drift is covered by the margin, and any violation is
+    surfaced (and pairs dropped) via the halo_overflow diagnostic."""
+    cell = params.h
+    nz = cfg.dims[2]
+    zrow = np.clip(
+        (np.asarray(pos)[:, 2] - params.z_min) / cell, 0, nz - 1
+    ).astype(np.int64)
+    counts = np.bincount(zrow, minlength=nz)
+    two_row = int((counts[:-1] + counts[1:]).max()) if nz > 1 else int(
+        counts.max())
+    need = int(margin * two_row) + cfg.ccol
+    return max(ALIGN, -(-need // ALIGN) * ALIGN)
+
+
 def make_halo_fast_multi_step(
     mesh: Mesh,
     params: SimParams,

@@ -123,10 +123,23 @@ class Simulator:
     def _fast_run_for(self, n: int):
         if n not in self._fast_runs:
             if self.engine == "halo":
-                from ..parallel import make_halo_fast_multi_step
+                from ..parallel import (
+                    make_halo_fast_multi_step, measure_halo_pad)
 
+                # scene-measured halo band (clamped to per-device rows;
+                # halo_overflow still surfaces any resort-time violation)
+                per_dev = (
+                    self._fast_cfg.n_blocks
+                    // self._mesh.devices.size * self._fast_cfg.block
+                )
+                pad = min(
+                    measure_halo_pad(
+                        self.scene.pos, self.params, self._fast_cfg),
+                    per_dev,
+                )
                 halo_run = make_halo_fast_multi_step(
-                    self._mesh, self.params, self.layout, self._fast_cfg, n
+                    self._mesh, self.params, self.layout, self._fast_cfg, n,
+                    halo_pad=pad,
                 )
 
                 def run(state, springs, membranes, _h=halo_run):

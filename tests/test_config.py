@@ -3,6 +3,9 @@ reference's formulas (owPhysicsConstant.h, owPhysicsFluidSimulator.cpp)."""
 import math
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.smoke
 
 from sph_tpu.config import DEFAULT_PARAMS, SimParams
 

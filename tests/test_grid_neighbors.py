@@ -1,5 +1,8 @@
 """Hash-grid and neighbor-search tests against brute-force NumPy oracles."""
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.smoke
 import jax.numpy as jnp
 
 from sph_tpu.config import SimParams

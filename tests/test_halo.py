@@ -96,3 +96,28 @@ def test_simulator_halo_engine(n_dev):
     assert np.isfinite(pos).all()
     out = sim.check_overflow()
     assert out["halo_overflow"] == 0
+
+
+def test_measure_halo_pad():
+    """Scene-measured halo band: covers the densest two z-rows with
+    margin, ALIGN-rounded, and at least ALIGN."""
+    from sph_tpu.parallel import measure_halo_pad
+    from sph_tpu.core.fast import compute_fast_config
+    from sph_tpu.ops.pair_kernels import ALIGN
+
+    params = SimParams()
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(
+        [params.x_min, params.y_min, params.z_min],
+        [params.x_max, params.y_max, params.z_max],
+        (4096, 3),
+    ).astype(np.float32)
+    cfg = compute_fast_config(pos, params)
+    pad = measure_halo_pad(pos, params, cfg)
+    assert pad % ALIGN == 0
+    cell = params.h
+    nz = cfg.dims[2]
+    zrow = np.clip((pos[:, 2] - params.z_min) / cell, 0, nz - 1).astype(int)
+    counts = np.bincount(zrow, minlength=nz)
+    two = int((counts[:-1] + counts[1:]).max())
+    assert pad >= two + cfg.ccol  # covers the densest pair of rows

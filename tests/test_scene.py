@@ -6,6 +6,8 @@ so the worm itself is identical; only pool/boundary shrink) to keep CI fast.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from sph_tpu.config import SimParams
 from sph_tpu.constants import (
     BOUNDARY_PARTICLE,
