@@ -28,7 +28,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20000)
-    ap.add_argument("--chunk", type=int, default=10,
+    ap.add_argument("--chunk", type=int, default=30,
                     help="compiled scan length (10 compiles in ~25 s; "
                     "longer outer scans compile pathologically on 1 core)")
     ap.add_argument("--report-every", type=int, default=500)
@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--frames", default="/tmp/locomotion_frames")
     ap.add_argument("--record", action="store_true",
                     help="append results to BASELINE.md")
+    ap.add_argument("--assert-propels", action="store_true",
+                    help="exit nonzero unless the worm PROPELS with "
+                    "bounded strain — the reproducible acceptance gate "
+                    "(one full undulation cycle = ~63k steps, "
+                    "main_sim.py:8 wave rate)")
     args = ap.parse_args()
 
     import jax
@@ -144,6 +149,14 @@ def main():
                 f"final max spring strain {strain(pos):.3f}\n"
                 f"- frame strip: {args.frames}\n"
             )
+
+    if args.assert_propels:
+        final_strain = strain(pos)
+        if verdict != "PROPELS" or final_strain >= 0.5:
+            print(f"ACCEPTANCE FAIL: verdict={verdict}, "
+                  f"strain={final_strain:.3f}")
+            return 1
+        print("ACCEPTANCE PASS")
     return 0
 
 

@@ -151,6 +151,12 @@ def make_halo_fast_multi_step(
     )
     boundary_pass = pk.make_boundary_pass(r0=r0, **kw)
     membrane_pass = pk.make_membrane_pass(r0=r0, **kw)
+    spring_pass = pk.make_spring_pass(
+        inv_h=inv_h,
+        h_scale=np.float32(params.h * params.simulation_scale),
+        k_spring=np.float32(params.k_spring),
+        n_slots=layout.spring_slots, **kw,
+    ) if layout.n_elastic > 0 and layout.springs_elastic_only else None
 
     dt = np.float32(params.time_step)
     pos_dt = np.float32(params.time_step * params.simulation_scale_inv)
@@ -321,12 +327,70 @@ def make_halo_fast_multi_step(
                 buf = buf.at[2, tgt].add(zo, mode="drop")
                 return jax.lax.psum(buf[:, :n_el], ax)
 
-        if have_springs:
-            # springs.idx/row_ids are absolute particle ids; the compact
-            # slot set is their sorted rows. K = Ne here (row side); the
-            # endpoint side may also hit boundary rows — globalize those
-            # from the (static within the sweep) sorted boundary positions.
-            # That reuse is only exact for static anchors, asserted below.
+        use_compact_springs = have_springs and layout.springs_elastic_only
+        if use_compact_springs:
+            # Slab-local port of core.fast's compact spring pair pass: no
+            # per-step collective at all. Spring partners are < h apart,
+            # so every partner of an OWNED row sits inside the halo band;
+            # columns whose slab coordinate falls outside this device's
+            # slab get partner id -1 (they can never match an own row —
+            # the sorted->slab map is injective) and position far.
+            n_slots = layout.spring_slots
+            mcap_s = -(-n_el // ALIGN) * ALIGN + cfg.ccol
+            perm_e = jnp.argsort(el_rows).astype(jnp.int32)
+            els_g = el_rows[perm_e]                      # ascending rows
+            rmap = jnp.full(n, -1, jnp.int32).at[springs.row_ids].set(
+                jnp.arange(springs.n_elastic, dtype=jnp.int32)
+            )
+            r_of_col = rmap[e0 + perm_e]                 # [n_el]
+            r_safe = jnp.maximum(r_of_col, 0)
+            sidx_c = jnp.where(
+                (r_of_col >= 0)[:, None],
+                springs.idx[r_safe, :n_slots], -1,
+            )                                            # [n_el,k] orig ids
+            col_slab = els_g + P0 - base                 # [n_el] slab coord
+            col_ok = (col_slab >= 0) & (col_slab < slab_size)
+            idx_slab = jnp.where(
+                sidx_c >= 0,
+                inv[jnp.maximum(sidx_c, 0)] + P0 - base, -1,
+            )
+            idx_f = jnp.where(
+                col_ok[:, None] & (sidx_c >= 0),
+                idx_slab.astype(jnp.float32), -1.0,
+            )
+            rest_c = jnp.where(
+                sidx_c >= 0, springs.rest[r_safe, :n_slots], 0.0)
+            idx_p = jnp.full((n_slots, mcap_s), -1.0, jnp.float32).at[
+                :, :n_el].set(idx_f.T)
+            rest_p = jnp.zeros((n_slots, mcap_s), jnp.float32).at[
+                :, :n_el].set(rest_c.T)
+            spr_static = jnp.concatenate([idx_p, rest_p], axis=0)
+            mid_c = jnp.where(
+                sidx_c >= 0, springs.muscle[r_safe, :n_slots], 0)
+            from ..constants import MUSCLE_COUNT
+            spr_onehot = (
+                mid_c.reshape(-1)[:, None]
+                == jnp.arange(1, MUSCLE_COUNT + 1, dtype=mid_c.dtype)
+            ).astype(jnp.float32)
+            # windows onto the compact column space (slab-clipped bounds
+            # so only in-slab columns are ever streamed)
+            lo_e = jnp.searchsorted(
+                els_g, lo_c - P0, side="left").astype(jnp.int32)
+            hi_e = jnp.searchsorted(
+                els_g, hi_c - P0, side="left").astype(jnp.int32)
+            aln_e, s0_e, cnt_e = F._tile_chunks(
+                lo_e, hi_e, nb_loc, cfg.ccol)
+            own_el_blk = (
+                eid_own_rows.reshape(nb_loc, cfg.block) >= 0
+            ).any(axis=1)
+            spr_tables = (aln_e, lo_e, hi_e, s0_e,
+                          jnp.where(own_el_blk, cnt_e, 0), ob)
+            col_safe = jnp.clip(col_slab, 0, slab_size - 1)
+        elif have_springs:
+            # gather fallback (non-elastic-anchored scenes): springs.idx/
+            # row_ids are absolute particle ids; endpoint positions come
+            # from a [3, n_el] psum plus resort-time sorted positions for
+            # static (boundary) anchors — asserted static at build.
             rows_sorted = inv[springs.row_ids]          # [Ne]
             sidx = springs.idx
             idx_sorted = jnp.where(
@@ -339,7 +403,14 @@ def make_halo_fast_multi_step(
             pt = membranes.particle_tris[e0:e1]
             t_ok = pt >= 0
             t_safe = jnp.maximum(pt, 0)
-            tri_eid = eid_of_orig[membranes.tris]        # [M,3] eids
+            # triangle vertices as LOCAL slab coordinates: any triangle
+            # whose column matters (within r0 of an own row) has all
+            # vertices within h of own rows, i.e. inside the halo band;
+            # out-of-slab vertices are clamped and only ever feed
+            # zero-weight columns
+            tri_rows = inv[membranes.tris]               # [M,3] sorted rows
+            tri_cols = jnp.clip(
+                tri_rows + P0 - base, 0, slab_size - 1)  # per-device
             # slab column of each eid on this device (may be OOB -> drop)
             el_cols = el_rows - base + P0
             has_mem_orig = jnp.zeros(n, jnp.float32).at[
@@ -386,7 +457,31 @@ def make_halo_fast_multi_step(
             aey = (c_visc * vy * inv_rho_o + c_surf * sty + gy) * not_b
             aez = (c_visc * vz * inv_rho_o + c_surf * stz + gz) * not_b
 
-            if have_springs:
+            if use_compact_springs:
+                # compact-slab spring pair pass over the LOCAL slab — no
+                # collective: partners of owned rows are inside the band
+                actf = jnp.matmul(
+                    spr_onehot,
+                    act * np.float32(params.muscle_force),
+                    precision=jax.lax.Precision.HIGHEST,
+                ).reshape(n_el, n_slots)
+                actf_p = jnp.zeros((n_slots, mcap_s), jnp.float32).at[
+                    :, :n_el].set(actf.T)
+
+                def crow(a):
+                    v = jnp.where(col_ok, a[col_safe], far)
+                    return jnp.full((mcap_s,), far, jnp.float32).at[
+                        :n_el].set(v)
+
+                spr_pack = F._pack_rows(jnp.concatenate([
+                    jnp.stack([crow(xs), crow(ys), crow(zs)], axis=0),
+                    spr_static, actf_p,
+                ], axis=0))
+                sfx, sfy, sfz = spring_pass(spr_tables, main1, spr_pack)
+                aex = aex + sfx
+                aey = aey + sfy
+                aez = aez + sfz
+            elif have_springs:
                 ebuf = globalize_elastic(xo, yo, zo)
                 # endpoint positions: elastic rows from the psum buffer,
                 # anything else (boundary) from the resort-time sorted
@@ -494,38 +589,28 @@ def make_halo_fast_multi_step(
             vaz = jnp.where(fric, (vaz - ncz * vn_dot) * 0.99, vaz)
 
             if have_mem:
-                ebuf = globalize_elastic(xn, yn, zn)
-                axv = ebuf[0, tri_eid[:, 0]]
-                ayv = ebuf[1, tri_eid[:, 0]]
-                azv = ebuf[2, tri_eid[:, 0]]
-                bxv = ebuf[0, tri_eid[:, 1]]
-                byv = ebuf[1, tri_eid[:, 1]]
-                bzv = ebuf[2, tri_eid[:, 1]]
-                cxv = ebuf[0, tri_eid[:, 2]]
-                cyv = ebuf[1, tri_eid[:, 2]]
-                czv = ebuf[2, tri_eid[:, 2]]
-                ux, uy, uz = bxv - axv, byv - ayv, bzv - azv
-                wx, wy, wz = cxv - axv, cyv - ayv, czv - azv
-                tnx = uy * wz - uz * wy
-                tny = uz * wx - ux * wz
-                tnz = ux * wy - uy * wx
-                tl2 = tnx * tnx + tny * tny + tnz * tnz
+                # triangle geometry from the LOCAL slab (no collective);
+                # 8-wide row gathers as in core.fast (TPU gathers cost
+                # per ROW, not per element)
+                n_tri = tri_cols.shape[0]
+                xyzn_slab = jnp.stack(
+                    [xns, yns, zns, jnp.zeros_like(xns)], axis=1
+                )                                        # [slab, 4]
+                vabc = xyzn_slab[tri_cols.reshape(-1)].reshape(
+                    n_tri, 3, 4)
+                a3 = vabc[:, 0, :3]
+                u3 = vabc[:, 1, :3] - a3
+                w3 = vabc[:, 2, :3] - a3
+                tn = jnp.cross(u3, w3)
+                tl2 = jnp.sum(tn * tn, axis=1, keepdims=True)
                 til = jnp.where(
                     tl2 > 0, jax.lax.rsqrt(jnp.maximum(tl2, 1e-30)), 0.0)
-                tnx, tny, tnz = tnx * til, tny * til, tnz * til
-                fields = []
-                for tr in range(7):
-                    ti = t_safe[:, tr]
-                    m = t_ok[:, tr]
-                    fields += [
-                        jnp.where(m, tnx[ti], 0.0),
-                        jnp.where(m, tny[ti], 0.0),
-                        jnp.where(m, tnz[ti], 0.0),
-                        jnp.where(m, axv[ti], 0.0),
-                        jnp.where(m, ayv[ti], 0.0),
-                        jnp.where(m, azv[ti], 0.0),
-                    ]
-                tri_mat = jnp.stack(fields, axis=0)      # [42, n_el]
+                tri8 = jnp.concatenate(
+                    [tn * til, a3,
+                     jnp.zeros((n_tri, 2), jnp.float32)], axis=1)
+                g = jnp.where(
+                    t_ok.reshape(-1, 1), tri8[t_safe.reshape(-1)], 0.0)
+                tri_mat = g[:, :6].reshape(n_el, 42).T   # [42, n_el]
                 mem_pack = jnp.zeros((pk.MEM_COLS, slab_size), jnp.float32)
                 colt = jnp.where(
                     (el_cols >= 0) & (el_cols < slab_size), el_cols,

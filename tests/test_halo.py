@@ -121,3 +121,38 @@ def test_measure_halo_pad():
     counts = np.bincount(zrow, minlength=nz)
     two = int((counts[:-1] + counts[1:]).max())
     assert pad >= two + cfg.ccol  # covers the densest pair of rows
+
+
+@pytest.mark.slow
+def test_halo_multi_worm():
+    """Two worms, one widened pool, stepped by the halo engine on 8
+    virtual devices — matches the single-chip fast engine across a
+    resort boundary (SURVEY §7 step 7 at multi-worm scale)."""
+    import dataclasses
+
+    from sph_tpu.scene import (
+        generate_multi_worm_params, generate_multi_worm_scene)
+
+    H = 3.34
+    base = SimParams(x_max=14 * H, y_max=12 * H, z_max=108 * H)
+    scene = generate_multi_worm_scene(2, base)
+    wide = generate_multi_worm_params(2, base)
+    ndev = 8
+    mesh = make_mesh(ndev)
+    block = 128
+    scene = pad_scene_to_devices(scene, ndev * block)
+    state, springs, membranes = scene.device_state()
+    layout = scene.layout()
+    cfg = dataclasses.replace(
+        compute_fast_config(scene.pos, wide, block=block),
+        resort_every=2,
+    )
+    halo = make_halo_fast_multi_step(
+        mesh, wide, layout, cfg, n_steps=3, halo_pad=2048
+    )
+    out, overflow = halo(shard_state(state, mesh), springs, membranes)
+    assert int(overflow) == 0
+    ref = make_fast_multi_step(wide, layout, cfg, 3)(
+        state, springs, membranes)
+    err = float(np.abs(np.asarray(out.pos) - np.asarray(ref.pos)).max())
+    assert err <= 5e-5, err

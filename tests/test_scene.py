@@ -130,3 +130,32 @@ def test_liquid_box_scene():
     assert (
         np.isclose(nb, 1.0, atol=1e-3) | np.isclose(nb, 0.7071, atol=1e-3)
     ).all()
+
+
+def test_multi_worm_scene():
+    """n worms = n x the single worm's elastic/spring/membrane counts,
+    one shared pool, no cross-worm springs (SURVEY §7 step 6 stress
+    config; the reference hard-codes one worm)."""
+    from sph_tpu.scene import (
+        generate_multi_worm_params,
+        generate_multi_worm_scene,
+        generate_worm_scene,
+    )
+
+    H = 3.34
+    base = SimParams(x_max=14 * H, y_max=12 * H, z_max=108 * H)
+    s1 = generate_worm_scene(base)
+    s2 = generate_multi_worm_scene(2, base)
+    lay = s2.layout()
+    assert lay.elastic_range == (0, 2 * s1.layout().n_elastic)
+    assert (s2.spring_idx >= 0).sum() == 2 * (s1.spring_idx >= 0).sum()
+    assert len(s2.tris) == 2 * len(s1.tris)
+    # no spring crosses between lanes
+    used = s2.spring_idx >= 0
+    a = s2.pos[np.repeat(s2.spring_rows, s2.spring_idx.shape[1])[
+        used.ravel()]]
+    b = s2.pos[s2.spring_idx[used]]
+    lane = base.x_max - base.x_min
+    assert np.abs(a[:, 0] - b[:, 0]).max() < lane / 2
+    wide = generate_multi_worm_params(2, base)
+    assert wide.x_max == base.x_min + 2 * lane
