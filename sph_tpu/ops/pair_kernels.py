@@ -14,8 +14,13 @@ all-pairs* passes over cell-sorted particles:
   within radius h of the block — streamed through VMEM as ``ccol``-wide
   tiles with double-buffered DMA and a *dynamic* trip count, so each block
   pays for its actual window, not a global worst case;
-* windows are exact: there is no slab capacity and nothing is ever
-  truncated (the round-1 ``ccap`` clamp is gone by construction);
+* windows are exact AT SORT TIME: there is no slab capacity and nothing
+  is ever truncated (the round-1 ``ccap`` clamp is gone by construction).
+  They have zero Verlet skin, so a pair entering reach h between resorts
+  is missed until the next resort — a smooth q~1 boundary perturbation,
+  quantified in BASELINE.md "window staleness" and surfaced per resort
+  period by the Simulator as ``window_drift_h`` (resort_every=1 restores
+  per-step-exact neighbor semantics);
 * pair distances and weights run on the VPU in full f32 (direct
   differences — no |a|^2-2ab+|b|^2 cancellation); every directional
   reduction ``sum_j w_ij * f_j`` runs on the MXU as one

@@ -83,6 +83,25 @@ def make_halo_fast_multi_step(
 ):
     """Jitted run(state, springs, membranes) -> (state, halo_overflow).
 
+    Scaling contract (r3): the steady state (between resorts) runs NO
+    O(N) collective — per step each device ppermutes only its halo edge
+    bands (measured 1.02 MB/step/device on the worm; springs are the
+    compact-slab pair pass in local slab coordinates, membrane geometry
+    is slab-sourced). The RESORT is the remaining O(N) point: it
+    all-gathers positions/velocities/normals/types and re-sorts globally
+    on every device (14.9 MB per resort on the worm, amortized over
+    resort_every). The designed replacement, for when scenes outgrow
+    this (>= ~10x current sizes): keep state sharded in sorted space
+    across sweeps, derive global ranks from a psum'd per-CELL histogram
+    (O(n_cells), not O(N)) plus per-device prefix counts, migrate only
+    rank-boundary-crossing rows to adjacent devices via fixed-capacity
+    ppermute buffers (overflow surfaced like halo_pad), rebuild window
+    tables from the histogram's pencil offsets (replicated O(pencils))
+    plus local block pencil ranges, and materialize original particle
+    order only at host I/O boundaries (dump/checkpoint). Nothing in the
+    inner loop changes under that plan — it swaps only this resort
+    section.
+
     ``state`` is particle-sharded over ``mesh`` (see
     parallel.sharded.shard_state); springs/membranes replicated.
     ``cfg.n_particles`` must be a multiple of ``n_devices * cfg.block``
