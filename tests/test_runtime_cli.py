@@ -177,3 +177,17 @@ def test_render_frame_spring_membrane_hud(tmp_path):
 
     hud = _hud_text(scene.counts, 7, params.time_step, act)
     assert "MDR" in hud and "MDL" in hud and "time step: 7" in hud
+
+
+def test_window_drift_diagnostic():
+    """The fast engine surfaces per-resort-period max drift (in units of
+    h) through check_overflow — the window-staleness signal (windows are
+    exact at sort time only; BASELINE.md quantifies the deviation)."""
+    scene, params = box_scene()
+    sim = Simulator(scene, params, engine="fast")
+    sim.step(sim._fast_chunk)
+    out = sim.check_overflow()
+    assert "window_drift_h" in out
+    assert 0.0 <= out["window_drift_h"] < 10.0
+    # read-and-reset: a second check with no stepping reports 0
+    assert sim.check_overflow()["window_drift_h"] == 0.0
