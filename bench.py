@@ -1,38 +1,133 @@
 """Headline benchmark: PCISPH particle-steps/sec on the worm scene.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE JSON line (ALWAYS, no matter what — see "driver-proofing"):
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N[, "reason": ...]}
 
 The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is measured
 against the BASELINE.json north-star target of 50M particle-steps/sec/chip.
 Runs on whatever jax.devices() offers (the real TPU chip under the driver).
-Uses the fast (Pallas pair) engine; falls back to the exact neighbor-list
-engine if the fast path fails on the current backend.
+
+DRIVER-PROOFING (round 4): round 3's metric was lost to rc=124 — the axon
+TPU tunnel died, the fast engine raised "Unable to initialize backend", and
+the exact-engine fallback re-entered the same dead backend and hung until
+the driver's timeout. Three defenses, in order:
+  1. The backend is probed in a SUBPROCESS with a hard timeout before any
+     in-process jax work; a dead/hung backend yields a parseable zero-value
+     JSON line within ~2.5 minutes and exit 0.
+  2. A watchdog thread emits the zero line and os._exit(0)s if the whole
+     bench exceeds its wall budget (default 1200 s) — the driver can never
+     see a silent hang again.
+  3. A backend that dies MID-bench (RuntimeError mentioning UNAVAILABLE /
+     backend init) is not retried with another engine; it emits the zero
+     line with the reason. Engine fallback only happens for genuine
+     compile/runtime errors on a live backend.
 
 PHYSICS GATE (round 3): the perf number is only printed at full value if
 two compiled-on-chip correctness checks pass first — the round-2 bf16 MXU
 precision disaster (silent ~5% spring-force error, worm tore apart at step
 ~500, invisible to every CPU/interpret test) is the regression class this
 guards against:
-  1. fast vs exact on a ~5k-particle box scene, 10 steps, compiled on the
+  1. fast vs exact on a ~2.7k-particle box scene, 10 steps, compiled on the
      real device: max |dpos| <= 1e-4.
-  2. 500 worm steps on the fast engine: finite state, max spring strain
+  2. ~500 worm steps on the fast engine: finite state, max spring strain
      < 0.5, liquid density within [0.5, 2.0] x rho0.
 On gate failure the metric value is multiplied by 0 so a regression can
-never look like a win.
+never look like a win. The 500-step continuation is wall-bounded and only
+runs on the fast engine (the exact engine is ~9 s/step at worm scale).
 """
 import json
+import os
+import subprocess
 import sys
+import threading
 import time
 import traceback
 
 import numpy as np
 
 TARGET = 50e6  # particle-steps/sec/chip north star (BASELINE.md)
+WATCHDOG_S = float(os.environ.get("SPH_BENCH_WATCHDOG_S", "1200"))
+PROBE_TIMEOUT_S = float(os.environ.get("SPH_BENCH_PROBE_S", "240"))
+
+_emitted = threading.Event()
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def emit(value, reason=None, **extra):
+    """Print THE json line exactly once (watchdog and main path race)."""
+    if _emitted.is_set():
+        return
+    _emitted.set()
+    rec = {
+        "metric": "pcisph_particle_steps_per_sec_worm",
+        "value": round(float(value), 1),
+        "unit": "particle-steps/s/chip",
+        "vs_baseline": round(float(value) / TARGET, 4),
+    }
+    if reason:
+        rec["reason"] = reason
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def _watchdog():
+    time.sleep(WATCHDOG_S)
+    emit(0.0, reason=f"watchdog: bench exceeded {WATCHDOG_S:.0f}s wall "
+                     "budget (backend hang or pathological compile)")
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
+
+
+def probe_backend():
+    """Check the backend from a subprocess so a hung init cannot hang us.
+
+    Returns (info_dict, None) on success or (None, reason) on failure.
+    The probe runs a real tiny computation: round-3's tunnel death mode
+    was an init that *hung* rather than raised."""
+    code = (
+        "import json, os, jax\n"
+        # the container's sitecustomize pins jax_platforms programmatically
+        # (which beats the env var); re-assert the env var so
+        # JAX_PLATFORMS=cpu actually simulates a TPU-less box
+        "if os.environ.get('JAX_PLATFORMS'):\n"
+        "    jax.config.update('jax_platforms',"
+        " os.environ['JAX_PLATFORMS'])\n"
+        "import jax.numpy as jnp\n"
+        "d = jax.devices()[0]\n"
+        "x = jnp.ones((128, 128), jnp.float32)\n"
+        "v = float((x @ x).sum())\n"
+        "print(json.dumps({'platform': d.platform,"
+        " 'kind': getattr(d, 'device_kind', ''), 'ok': v == 128.0 * 128 * 128}))\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=PROBE_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        return None, (f"backend probe hung (> {PROBE_TIMEOUT_S:.0f}s) — "
+                      "TPU tunnel down")
+    if r.returncode != 0:
+        lines = [ln for ln in (r.stderr or "").strip().splitlines() if ln]
+        tail = lines[-1][:300] if lines else f"rc={r.returncode}"
+        return None, f"backend probe failed: {tail}"
+    try:
+        info = json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None, f"backend probe unparseable: {r.stdout[:200]!r}"
+    return info, None
+
+
+def _is_backend_death(exc: BaseException) -> bool:
+    s = f"{type(exc).__name__}: {exc}"
+    return any(k in s for k in (
+        "UNAVAILABLE", "Unable to initialize backend",
+        "DEADLINE_EXCEEDED", "Socket closed", "connection", "Connection",
+    ))
 
 
 def gate_box_equivalence(params):
@@ -99,7 +194,6 @@ def gate_worm_integrity(scene, params, state):
         rest = scene.spring_rest[used]
         strain = float(np.max(np.abs(r - rest) / np.maximum(rest, 1e-9)))
         ok = ok and strain < 0.5
-
     rho = np.asarray(diagnostics(state, params)["rho"])
     lq0, lq1 = lay.liquid_range if hasattr(lay, "liquid_range") else (0, 0)
     if lq1 > lq0:
@@ -149,70 +243,104 @@ def run_engine(engine, scene, params, chunk, budget_s):
         steps += chunk
     wall = time.time() - t0
 
-    # continue to ~500 steps for the integrity gate (same compiled graph)
+    # continue toward ~500 steps for the integrity gate (same compiled
+    # graph) — WALL-BOUNDED and fast-engine only: at exact-engine speed
+    # (~9 s/step at worm scale) this loop is what hung round 3's fallback
     done = steps + chunk
-    while done < 500:
-        state = advance(state)
-        done += chunk
-    sync(state)
+    if engine == "fast":
+        t_gate = time.time()
+        while done < 500 and time.time() - t_gate < 2 * budget_s:
+            state = advance(state)
+            done += chunk
+        sync(state)
+        if done < 500:
+            log(f"# integrity continuation wall-bounded at step {done}")
 
     return steps, wall, compile_s, state
 
 
 def main() -> int:
-    import jax
+    threading.Thread(target=_watchdog, daemon=True).start()
 
-    from sph_tpu.config import SimParams
-    from sph_tpu.scene import generate_worm_scene
+    info, err = probe_backend()
+    if err is not None:
+        log(f"# {err}")
+        emit(0.0, reason=err)
+        return 0
+    platform = str(info.get("platform", "")).lower()
+    kind = str(info.get("kind", ""))
+    on_tpu = platform in ("tpu", "axon") or "TPU" in kind
+    log(f"# backend probe: platform={platform} kind={kind!r} tpu={on_tpu}")
+    force = os.environ.get("SPH_BENCH_FORCE", "") == "1"
+    if not on_tpu and not force:
+        reason = (f"no TPU backend (platform={platform}) — the metric is "
+                  "per-chip; refusing to publish a CPU number")
+        log(f"# {reason}")
+        emit(0.0, reason=reason)
+        return 0
 
-    # Full-size worm-in-pool world (owPhysicsConstant.h box: 30h x 20h x 250h)
-    params = SimParams()
-    t0 = time.time()
-    scene = generate_worm_scene(params)
-    build_s = time.time() - t0
-    n = scene.n_particles
-
-    engine = "fast"
     try:
-        # chunk 30 = one full resort period per call (resort_every default
-        # 30; the nested-scan graph compiles like the 10-step one) — the
-        # resort machinery (~46 ms) amortizes 3x further than chunk 10
-        steps, wall, compile_s, end_state = run_engine(
-            "fast", scene, params, 30, 90.0)
-    except Exception:
-        traceback.print_exc(file=sys.stderr)
-        log("# fast engine failed; falling back to exact")
-        engine = "exact"
-        steps, wall, compile_s, end_state = run_engine(
-            "exact", scene, params, 5, 120.0)
+        import jax
 
-    gate_ok = True
-    try:
-        gate_ok = gate_worm_integrity(scene, params, end_state) and gate_ok
-        if engine == "fast":
-            gate_ok = gate_box_equivalence(params) and gate_ok
-    except Exception:
-        traceback.print_exc(file=sys.stderr)
-        log("# GATE crashed -> FAIL")
-        gate_ok = False
+        from sph_tpu.config import SimParams
+        from sph_tpu.scene import generate_worm_scene
 
-    pps = n * steps / wall
-    log(
-        f"# worm scene ({engine} engine): {n} particles {scene.counts}; "
-        f"build {build_s:.1f}s, compile+warmup {compile_s:.1f}s, "
-        f"{steps} steps in {wall:.2f}s ({wall / steps * 1e3:.2f} ms/step), "
-        f"device={jax.devices()[0]}"
-    )
-    if not gate_ok:
-        log("# PHYSICS GATE FAILED — metric zeroed")
-        pps = 0.0
-    print(json.dumps({
-        "metric": "pcisph_particle_steps_per_sec_worm",
-        "value": round(pps, 1),
-        "unit": "particle-steps/s/chip",
-        "vs_baseline": round(pps / TARGET, 4),
-    }))
-    return 0
+        # Full-size worm-in-pool world (owPhysicsConstant.h box:
+        # 30h x 20h x 250h)
+        params = SimParams()
+        t0 = time.time()
+        scene = generate_worm_scene(params)
+        build_s = time.time() - t0
+        n = scene.n_particles
+
+        engine = "fast"
+        try:
+            # chunk 30 = one full resort period per call (resort_every
+            # default 30; the nested-scan graph compiles like the 10-step
+            # one) — the resort machinery amortizes 3x further than chunk 10
+            steps, wall, compile_s, end_state = run_engine(
+                "fast", scene, params, 30, 90.0)
+        except Exception as e:
+            traceback.print_exc(file=sys.stderr)
+            if _is_backend_death(e):
+                reason = f"backend died mid-bench: {str(e)[:200]}"
+                log(f"# {reason} — NOT retrying on a dead backend")
+                emit(0.0, reason=reason)
+                return 0
+            log("# fast engine failed; falling back to exact")
+            engine = "exact"
+            steps, wall, compile_s, end_state = run_engine(
+                "exact", scene, params, 5, 120.0)
+
+        gate_ok = True
+        try:
+            gate_ok = gate_worm_integrity(scene, params, end_state) and gate_ok
+            if engine == "fast":
+                gate_ok = gate_box_equivalence(params) and gate_ok
+        except Exception as e:
+            traceback.print_exc(file=sys.stderr)
+            if _is_backend_death(e):
+                emit(0.0, reason=f"backend died in gate: {str(e)[:200]}")
+                return 0
+            log("# GATE crashed -> FAIL")
+            gate_ok = False
+
+        pps = n * steps / wall
+        log(
+            f"# worm scene ({engine} engine): {n} particles {scene.counts}; "
+            f"build {build_s:.1f}s, compile+warmup {compile_s:.1f}s, "
+            f"{steps} steps in {wall:.2f}s ({wall / steps * 1e3:.2f} "
+            f"ms/step), device={jax.devices()[0]}"
+        )
+        if not gate_ok:
+            log("# PHYSICS GATE FAILED — metric zeroed")
+            pps = 0.0
+        emit(pps)
+        return 0
+    except Exception as e:
+        traceback.print_exc(file=sys.stderr)
+        emit(0.0, reason=f"bench crashed: {type(e).__name__}: {str(e)[:200]}")
+        return 0
 
 
 if __name__ == "__main__":
