@@ -61,7 +61,7 @@ def main():
         cid = cy + ny * pencil
         order = jnp.argsort(cid, stable=True).astype(jnp.int32)
         pencil_s = pencil[order]
-        tables, pstart, pranges = fast._window_tables(pencil_s, cfg)
+        tables, pstart, pranges, _gt = fast._window_tables(pencil_s, cfg)
         xs = fast._pad_field(pos.x[order], cfg, far)
         ys = fast._pad_field(pos.y[order], cfg, far)
         zs = fast._pad_field(pos.z[order], cfg, far)

@@ -52,6 +52,13 @@ class FastConfig:
     dims: tuple[int, int, int]  # h-granularity grid dims
     interpret: bool = False
     resort_every: int = 10  # steps between spatial re-sorts (window rebuilds)
+    # subgroup size for the gated main-window passes (None/block = off):
+    # per streamed tile, only the `sub`-row subgroups whose own pencil-band
+    # windows overlap the tile compute — measured 1,617 -> 819 computed
+    # columns/particle at sub=32, ccol=128 on the worm
+    # (scripts/r3_window_analysis.py); results are unchanged (skipped
+    # contributions are exact zeros — see pair_kernels._make_sub_pass)
+    sub: int | None = None
 
     @property
     def n_pad(self) -> int:
@@ -75,6 +82,7 @@ def compute_fast_config(
     interpret: bool | None = None,
     resort_every: int = 30,
     block_multiple: int = 8,
+    sub: int | None = None,
 ) -> FastConfig:
     """Static fast-engine shapes. Unlike round 1 there is no measured slab
     capacity: windows are streamed with a dynamic tile count, so nothing
@@ -102,6 +110,7 @@ def compute_fast_config(
     return FastConfig(
         n_particles=n, n_blocks=nb, block=block, ccol=ccol,
         dims=(nx, ny, nz), interpret=interpret, resort_every=resort_every,
+        sub=sub,
     )
 
 
@@ -171,7 +180,27 @@ def _window_tables(pencil_s, cfg: FastConfig):
         jnp.zeros(1, jnp.int32),
     )
     pencil_ranges = (jnp.stack(plos, 1), jnp.stack(phis, 1))
-    return tables, pstart, pencil_ranges
+
+    # per-subgroup UNMERGED dz-band column windows for the gated passes
+    # (pair_kernels._make_sub_pass): flattened [nb * 3 * ng] int32, index
+    # (b*3 + dz_chunk) * ng + g
+    gtabs = None
+    if cfg.sub and cfg.sub < B:
+        ng = B // cfg.sub
+        gi = jnp.arange(nb * ng, dtype=jnp.int32)
+        first_g = pencil_s[jnp.minimum(gi * cfg.sub, n - 1)].reshape(nb, ng)
+        last_g = pencil_s[
+            jnp.minimum(gi * cfg.sub + cfg.sub - 1, n - 1)
+        ].reshape(nb, ng)
+        glos, ghis = [], []
+        for dz in (-1, 0, 1):
+            glos.append(pstart[jnp.clip(first_g + dz * nx - 1, 0, npen)])
+            ghis.append(pstart[jnp.clip(last_g + dz * nx + 2, 0, npen)])
+        gtabs = (
+            jnp.stack(glos, 1).reshape(-1),          # [nb, 3, ng] flat
+            jnp.stack(ghis, 1).reshape(-1),
+        )
+    return tables, pstart, pencil_ranges, gtabs
 
 
 def _tile_chunks(lo, hi, n_blocks, ccol):
@@ -238,11 +267,16 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
     r0 = np.float32(params.r0)
     kw = dict(block=cfg.block, ccol=cfg.ccol, n_blocks=cfg.n_blocks,
               inv_h2=inv_h2, interpret=cfg.interpret)
-    density_pass = pk.make_density_pass(c_rho=c_rho, **kw)
-    viscsurf_pass = pk.make_viscsurf_pass(**kw)
-    rho_star_pass = pk.make_rho_star_pass(c_rho=c_rho, **kw)
+    # subgroup gating applies to the four main-window passes only; the
+    # compact-slab passes (boundary/membrane/spring) stream ~10-20x fewer
+    # columns already and keep the plain block-level kernels
+    mkw = dict(kw, sub=cfg.sub)
+    density_pass = pk.make_density_pass(c_rho=c_rho, **mkw)
+    viscsurf_pass = pk.make_viscsurf_pass(**mkw)
+    rho_star_pass = pk.make_rho_star_pass(c_rho=c_rho, **mkw)
     paccel_pass = pk.make_paccel_pass(
-        inv_h=inv_h, rho0_delta=np.float32(params.rho0 * params.delta), **kw
+        inv_h=inv_h, rho0_delta=np.float32(params.rho0 * params.delta),
+        **mkw
     )
     boundary_pass = pk.make_boundary_pass(r0=r0, **kw)
     membrane_pass = pk.make_membrane_pass(r0=r0, **kw)
@@ -298,7 +332,8 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
         def srt(a, fill=0.0):
             return _pad_field(a[order], cfg, fill)
 
-        tables, pstart, pranges = _window_tables(pencil_s, cfg)
+        tables, pstart, pranges, gtabs = _window_tables(pencil_s, cfg)
+        gt = gtabs if gtabs is not None else ()
         # pad/phantom rows are flagged boundary (fill 1.0): maskless tiles
         # can overhang into pad columns, so phantom rows must be pinned
         # like walls (otherwise they would integrate off the `far` fill
@@ -320,7 +355,7 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
         )
         aln_t, lo_t, hi_t, s0_t, cnt_t, ob_t = tables
         force_tables = (aln_t, lo_t, hi_t, s0_t,
-                        jnp.where(own_nonb, cnt_t, 0), ob_t)
+                        jnp.where(own_nonb, cnt_t, 0), ob_t, *gt)
         # boundary-response pass additionally needs boundary in the window
         seg_b = jax.ops.segment_sum(
             isb_s[:n], pencil_s, num_segments=cfg.n_pencils
@@ -372,7 +407,7 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
         )
         win_has_mv = (csum_mv[phi_r] - csum_mv[plo_r]).sum(axis=1) > 0
         rho_tables = (aln_t, lo_t, hi_t, s0_t,
-                      jnp.where(own_nonb | win_has_mv, cnt_t, 0), ob_t)
+                      jnp.where(own_nonb | win_has_mv, cnt_t, 0), ob_t, *gt)
 
         ctx = dict(
             order=order, inv=inv, isb_s=isb_s, liq_s=liq_s,
@@ -503,10 +538,11 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
             srt(pos.x, far), srt(pos.y, far), srt(pos.z, far),
             srt(vel.x), srt(vel.y), srt(vel.z),
             state.muscle_activation, state.step,
+            jnp.zeros((), jnp.float32),  # window-staleness drift bound
         )
 
     def inner_step(ctx, carry):
-        xs, ys, zs, vtx, vty, vtz, act, step_no = carry
+        xs, ys, zs, vtx, vty, vtz, act, step_no, drift = carry
         isb_s = ctx["isb_s"]
         bmask = ctx["bmask"]
         tables = ctx["tables"]
@@ -724,16 +760,26 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
         else:
             act_next = act
 
+        # window-staleness bound (ADVICE r3): accumulate the per-step max
+        # Euclidean displacement — the SUM of per-step maxima bounds any
+        # intra-period excursion, and 2x it bounds relative pair approach
+        # (two particles converging). Boundary/pad rows are pinned (diff
+        # exactly 0), so the max is over real moving rows only.
+        d2 = ((xn - own_x) * (xn - own_x)
+              + (yn - own_y) * (yn - own_y)
+              + (zn - own_z) * (zn - own_z))
+        drift = drift + jnp.sqrt(jnp.max(d2))
+
         return (
             _pad_field(xn, cfg, far), _pad_field(yn, cfg, far),
             _pad_field(zn, cfg, far),
             _pad_field(vax, cfg), _pad_field(vay, cfg),
             _pad_field(vaz, cfg),
-            act_next, step_no + 1,
+            act_next, step_no + 1, drift,
         )
 
     def unsort_state(ctx, carry, state: FluidState) -> FluidState:
-        xs, ys, zs, vtx, vty, vtz, act, step_no = carry
+        xs, ys, zs, vtx, vty, vtz, act, step_no, _drift = carry
         order = ctx["order"]
 
         def unsort(a_sorted):
@@ -751,8 +797,14 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
     return sort_ctx, carry_of, inner_step, unsort_state
 
 
-def make_fast_multi_step(params, layout, cfg, n_steps: int = 1):
+def make_fast_multi_step(params, layout, cfg, n_steps: int = 1,
+                         return_drift: bool = False):
     """Jitted run(state, springs, membranes) -> state after n_steps.
+
+    ``return_drift``: also return the window-staleness bound — the max
+    over resort periods of (sum over the period's steps of the per-step
+    max Euclidean displacement). 2x this bounds how far any PAIR can have
+    approached while the period's windows were stale (ADVICE r3).
 
     Resorts every ``cfg.resort_every`` steps; between resorts the physics
     scans in sorted space with cached window tables. The sorted-space scan
@@ -789,15 +841,23 @@ def make_fast_multi_step(params, layout, cfg, n_steps: int = 1):
             ctx = sort_ctx(state, springs, membranes)
             carry = carry_of(ctx, state)
             carry = scan_steps(ctx, carry, r_steps)
-            return unsort_state(ctx, carry, state)
+            return unsort_state(ctx, carry, state), carry[-1]
 
+        drift = jnp.zeros((), jnp.float32)
         if full:
-            state, _ = jax.lax.scan(
-                lambda s, _: (sweep(s, r_every), None), state, None,
-                length=full,
+            def body(c, _):
+                s, d = c
+                s2, d2 = sweep(s, r_every)
+                return (s2, jnp.maximum(d, d2)), None
+
+            (state, drift), _ = jax.lax.scan(
+                body, (state, drift), None, length=full,
             )
         if rem:
-            state = sweep(state, rem)
+            state, d2 = sweep(state, rem)
+            drift = jnp.maximum(drift, d2)
+        if return_drift:
+            return state, drift
         return state
 
     return run

@@ -203,6 +203,38 @@ def _wsum3_rw(w, slab, row0, own3=None, exact_w=False, round_w=False):
     return out, rw
 
 
+def _wsum3c_rw(w, slab, row0, own3=None, exact_w=False, round_w=False):
+    """Column-major `_wsum3_rw`: same reductions, but the weight matrix is
+    the FIRST dot operand so the (sub, 4) result lands sublane-major —
+    subgroup-gated passes accumulate into (block, k) VMEM scratch with
+    cheap static sublane slices (lane-offset updates at sub-128 offsets
+    have no cheap Mosaic lowering). own3, when given, must be (sub, 1)
+    sublane COLUMNS (not lane rows). Returns ([3 x (sub, 1)], rw)."""
+    f = slab[row0:row0 + 3, :]                   # (3, ccol)
+    c = slab[row0:row0 + 3, 0:1]                 # (3, 1) tile-local center
+    ones = jnp.ones((1, w.shape[1]), jnp.float32)
+    fm = jnp.concatenate([f - c, ones], axis=0)  # (4, ccol)
+    if round_w and not exact_w:
+        w = w.astype(jnp.bfloat16).astype(jnp.float32)
+        exact_w = True
+    s = _dotT(w, fm, exact_a=exact_w)            # (sub, 4)
+    rw = s[:, 3:4]
+    out = []
+    for k in range(3):
+        sk = s[:, k:k + 1]
+        ck = c[k:k + 1, 0:1]                     # (1, 1) broadcast scalar
+        if own3 is None:
+            out.append(sk + ck * rw)
+        else:
+            out.append((own3[k] - ck) * rw - sk)
+    return out, rw
+
+
+def _wsum3c(w, slab, row0, own3=None, exact_w=False, round_w=False):
+    out, _ = _wsum3c_rw(w, slab, row0, own3, exact_w, round_w)
+    return out
+
+
 def _group_of(n_blocks: int) -> int:
     """Blocks per grid step: the largest of 8/4/2/1 dividing n_blocks."""
     for g in (8, 4, 2, 1):
@@ -384,6 +416,202 @@ def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
     return call
 
 
+def _make_sub_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
+                   block, sub, ccol, n_blocks, interpret=False,
+                   finish_fn=None):
+    """Subgroup-gated variant of :func:`_make_pass` (round 4).
+
+    The maskless block window is the UNION of its own rows' reach: a
+    256-row block spans several pencils, so every row pays pair math for
+    ~1,600 candidate columns when its own 32-row neighborhood only
+    reaches ~800 (measured, scripts/r3_window_analysis.py). This pass
+    splits each block into ``block//sub`` subgroups of ``sub`` consecutive
+    sorted rows; per streamed tile, a subgroup computes ONLY when the tile
+    overlaps one of the subgroup's three dz-band column windows (scalar
+    SMEM test). DMA stays block-level (it is ~2 orders of magnitude below
+    the VPU cost); compute drops to the per-subgroup coverage.
+
+    Correctness: the maskless invariant holds PER SUBGROUP — any column
+    outside a subgroup's pencil-band windows is >= h from all its rows at
+    sort time, so every skipped (tile, subgroup) contribution is exactly
+    0.0, and f32 ``x + 0.0 == x`` for the accumulators (which start at
+    +0.0). Results are bit-identical to the ungated pass modulo reduction
+    association, which is preserved: per-row lane/MXU reduction order over
+    each tile is unchanged, and tiles arrive in the same order.
+
+    Contract differences from _make_pass:
+    * two extra prefetch tables glo_t/ghi_t, flattened
+      [n_blocks * 3 * n_groups] int32 — per (block, dz band, subgroup)
+      UNMERGED column windows (core.fast._window_tables emits them);
+    * prep_fn's orow/ocol read the SUBGROUP's rows: orow(a) -> (1, sub),
+      ocol(a) -> (sub, 1);
+    * tile_fn accumulates (sub, 1) sublane columns (use _wsum3c for MXU
+      reductions — lane-row accumulators would need sub-128 lane-offset
+      updates, which Mosaic has no cheap lowering for);
+    * finish_fn maps the final tuple of (block, 1) columns to (1, block)
+      lane rows (default: _col_to_row each).
+    """
+    n_prefetch = 8
+    group = _group_of(n_blocks)
+    ng = block // sub
+    assert block % sub == 0 and sub % 8 == 0, (block, sub)
+
+    def kernel(aln_t, lo_t, hi_t, s0_t, cnt_t, ob_t, glo_t, ghi_t,
+               own_h, slab_h, *rest):
+        del lo_t, hi_t  # maskless: tiles are disjoint + covering
+        outs = rest[:n_outputs]
+        own_scr, slab_scr, acc_scr, osem, ssem = rest[n_outputs:]
+
+        g = pl.program_id(0)
+        base_b = g * group
+        own_off0 = pl.multiple_of(ob_t[0] + base_b * block, ALIGN)
+        cp_own = pltpu.make_async_copy(
+            own_h.at[:, pl.ds(own_off0, group * block)], own_scr, osem
+        )
+        cp_own.start()
+
+        def tile_chunk_off(b3, s):
+            c = b3 + ((s >= s0_t[b3 + 1]).astype(jnp.int32)
+                      + (s >= s0_t[b3 + 2]).astype(jnp.int32))
+            off = aln_t[c] + (s - s0_t[c]) * ccol
+            return c, pl.multiple_of(off, ALIGN)
+
+        def tile_copy(b3, s, slot):
+            _, off = tile_chunk_off(b3, s)
+            return pltpu.make_async_copy(
+                slab_h.at[:, pl.ds(off, ccol)], slab_scr.at[slot],
+                ssem.at[slot],
+            )
+
+        cp_own.wait()
+        eye = _eye_of(block)
+
+        for sub_b in range(group):
+            b = base_b + sub_b
+            b3 = b * 3
+            n_s = cnt_t[b]
+            own_off = own_off0 + sub_b * block
+            o0 = sub_b * block
+            ownT = _eye_dot(own_scr[:, o0:o0 + block], eye,
+                            (((1,), (1,)), ((), ())), v_first=False)
+
+            # per-subgroup own contexts (tile-independent; hoisted out of
+            # the tile loop — slicing only)
+            sub_ctxs = []
+            for gg in range(ng):
+                r0 = gg * sub
+
+                def orow(a, o0=o0, r0=r0):
+                    return own_scr[a:a + 1, o0 + r0:o0 + r0 + sub]
+
+                def ocol(a, ownT=ownT, r0=r0):
+                    return ownT[r0:r0 + sub, a:a + 1]
+
+                gid = own_off + r0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (sub, 1), 0
+                )
+                sub_ctxs.append((prep_fn(orow, ocol), dict(own_gid=gid)))
+
+            acc_scr[...] = jnp.zeros((block, n_outputs), jnp.float32)
+
+            @pl.when(n_s > 0)
+            def _(b3=b3):
+                tile_copy(b3, 0, 0).start()
+
+            def body(s, carry, b3=b3, n_s=n_s, sub_ctxs=sub_ctxs):
+                slot = jax.lax.rem(s, 2)
+
+                @pl.when(s + 1 < n_s)
+                def _():
+                    tile_copy(b3, s + 1, jax.lax.rem(s + 1, 2)).start()
+
+                _, off = tile_chunk_off(b3, s)
+                tile_copy(b3, s, slot).wait()
+                slab = slab_scr.at[slot]
+                for gg in range(ng):
+                    # the tile computes for subgroup gg iff it overlaps
+                    # ANY of gg's three dz-band windows (unmerged — robust
+                    # to the block chunks' dedup merging)
+                    active = None
+                    for dzc in range(3):
+                        i = (b3 + dzc) * ng + gg
+                        hit = (ghi_t[i] > off) & (glo_t[i] < off + ccol)
+                        active = hit if active is None else (active | hit)
+                    own_ctx, ctx = sub_ctxs[gg]
+                    r0 = gg * sub
+
+                    @pl.when(active)
+                    def _(own_ctx=own_ctx, ctx=ctx, r0=r0, slab=slab):
+                        accs = tuple(
+                            acc_scr[r0:r0 + sub, k:k + 1]
+                            for k in range(n_outputs)
+                        )
+                        new = tile_fn(own_ctx, slab, ctx, accs)
+                        for k in range(n_outputs):
+                            acc_scr[r0:r0 + sub, k:k + 1] = new[k]
+                return carry
+
+            jax.lax.fori_loop(0, n_s, body, 0)
+            cols = tuple(
+                acc_scr[:, k:k + 1] for k in range(n_outputs)
+            )
+            rows = (finish_fn(cols) if finish_fn is not None
+                    else tuple(_col_to_row(a) for a in cols))
+            row = (base_b + sub_b) % 8 if group < 8 else sub_b
+            for k in range(n_outputs):
+                outs[k][pl.ds(row, 1), :] = rows[k]
+
+    mspace = pl.ANY if interpret else pltpu.HBM
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=n_prefetch,
+        grid=(n_blocks // group,),
+        in_specs=[
+            pl.BlockSpec(memory_space=mspace),
+            pl.BlockSpec(memory_space=mspace),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((8, block),
+                         lambda g, *_: (g * group // 8, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(n_outputs)
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((-(-own_cols // 8) * 8, group * block),
+                        jnp.float32),
+             pltpu.VMEM((2, -(-slab_cols // 8) * 8, ccol), jnp.float32),
+             pltpu.VMEM((block, n_outputs), jnp.float32)]
+            + [pltpu.SemaphoreType.DMA,
+               pltpu.SemaphoreType.DMA((2,))]
+        ),
+    )
+    n_pad = n_blocks * block
+    rows8 = -(-n_blocks // 8) * 8
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((rows8, block), jnp.float32)
+        for _ in range(n_outputs)
+    )
+
+    def call(tables, own_pack, slab_pack):
+        assert len(tables) == n_prefetch, (
+            f"sub pass expects {n_prefetch} tables, got {len(tables)}"
+        )
+        args = list(tables) + [own_pack, slab_pack]
+        res = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+        )(*args)
+        if n_outputs == 1:
+            return res[0][:n_blocks].reshape(n_pad)
+        return tuple(r[:n_blocks].reshape(n_pad) for r in res)
+
+    return call
+
+
 def _q2_of(oc, slab, inv_h2, row0=0, own_start=0):
     """Exact pair q^2 (block, ccol) from the own (block, 1) columns
     oc[own_start..+3) and slab rows [row0, +3)."""
@@ -442,8 +670,18 @@ def _col_to_row(acc):
     return _eye_dot(acc, _eye_of(acc.shape[0]), (((0,), (0,)), ((), ())))
 
 
+def _maker(block, sub):
+    """_make_pass, or _make_sub_pass when a proper subgroup size is set."""
+    if sub and sub < block:
+        def make(prep_fn, tile_fn, **kw):
+            return _make_sub_pass(prep_fn, tile_fn, sub=sub, **kw)
+
+        return make
+    return _make_pass
+
+
 def make_density_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
-                      interpret=False, **_):
+                      interpret=False, sub=None, **_):
     """rho_i = c_rho * max(1, sum_{j != i} poly6 over pairs q^2 <= 1)
     (sphFluid.cl:472-518, all-pairs form).
 
@@ -469,10 +707,10 @@ def make_density_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
     def finish(accs):
         return (_col_to_row(accs[0]),)
 
-    raw = _make_pass(prep, tile, own_cols=MAIN_COLS,
-                     slab_cols=MAIN_COLS, n_outputs=1, block=block,
-                     ccol=ccol, n_blocks=n_blocks, interpret=interpret,
-                     finish_fn=finish)
+    raw = _maker(block, sub)(prep, tile, own_cols=MAIN_COLS,
+                             slab_cols=MAIN_COLS, n_outputs=1, block=block,
+                             ccol=ccol, n_blocks=n_blocks,
+                             interpret=interpret, finish_fn=finish)
 
     def call(tables, own_pack, slab_pack):
         # subtract the exact self term (included maskless); rows with a
@@ -485,7 +723,7 @@ def make_density_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
 
 
 def make_viscsurf_pass(*, block, ccol, n_blocks, inv_h2, interpret=False,
-                       **_):
+                       sub=None, **_):
     """Fused viscosity + surface-tension pair sums (sphFluid.cl:589-708),
     over q < 1 pairs: visc = sum (ve_j - ve_i)(1-q)/rho_j, surf = sum
     (x_i - x_j). Boundary neighbors contribute wall normals as velocity
@@ -526,9 +764,33 @@ def make_viscsurf_pass(*, block, ccol, n_blocks, inv_h2, interpret=False,
         vz = vz + sv[2] - vo[2] * rv
         return vx, vy, vz, stx + sx[0], sty + sx[1], stz + sx[2]
 
-    raw = _make_pass(prep, tile, own_cols=MAIN_COLS,
-                     slab_cols=MAIN_COLS, n_outputs=6, block=block,
-                     ccol=ccol, n_blocks=n_blocks, interpret=interpret)
+    if sub and sub < block:
+        # subgroup mode: everything own-side is a (sub, 1) sublane column
+        # and the reductions are column-major (_wsum3c) — same math
+        def prep_c(orow, ocol):
+            return dict(oc=[ocol(k) for k in range(3)],
+                        vo=[ocol(PM_VEX + k) for k in range(3)])
+
+        def tile_c(own, slab, ctx, accs):
+            r2 = _r2_of(own["oc"], slab)
+            t = jnp.maximum(h - jnp.sqrt(r2), 0.0)
+            wv = t * _srow(slab, PM_RHO)
+            ws = (r2 < h2).astype(jnp.float32)
+            sv, rv = _wsum3c_rw(wv, slab, PM_VEX)
+            sx = _wsum3c(ws, slab, PM_X, own3=own["oc"], exact_w=True)
+            vx, vy, vz, stx, sty, stz = accs
+            vo = own["vo"]
+            vx = vx + sv[0] - vo[0] * rv
+            vy = vy + sv[1] - vo[1] * rv
+            vz = vz + sv[2] - vo[2] * rv
+            return vx, vy, vz, stx + sx[0], sty + sx[1], stz + sx[2]
+
+        prep, tile = prep_c, tile_c
+
+    raw = _maker(block, sub)(prep, tile, own_cols=MAIN_COLS,
+                             slab_cols=MAIN_COLS, n_outputs=6, block=block,
+                             ccol=ccol, n_blocks=n_blocks,
+                             interpret=interpret)
     inv_h = np.float32(np.sqrt(inv_h2))
 
     def call(tables, own_pack, slab_pack):
@@ -539,7 +801,7 @@ def make_viscsurf_pass(*, block, ccol, n_blocks, inv_h2, interpret=False,
 
 
 def make_rho_star_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
-                       interpret=False, **_):
+                       interpret=False, sub=None, **_):
     """Predicted density (sphFluid.cl:982-1059): contribution from
     predicted positions with q*^2 < 1 strict; maskless like the density
     pass (t = max(h^2 - r*^2, 0), folded 1/h^2 scale, exact self term
@@ -567,10 +829,10 @@ def make_rho_star_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
     def finish(accs):
         return (_col_to_row(accs[0]),)
 
-    raw = _make_pass(prep, tile, own_cols=ITER_COLS,
-                     slab_cols=ITER_COLS, n_outputs=1, block=block,
-                     ccol=ccol, n_blocks=n_blocks, interpret=interpret,
-                     finish_fn=finish)
+    raw = _maker(block, sub)(prep, tile, own_cols=ITER_COLS,
+                             slab_cols=ITER_COLS, n_outputs=1, block=block,
+                             ccol=ccol, n_blocks=n_blocks,
+                             interpret=interpret, finish_fn=finish)
 
     def call(tables, own_pack, slab_pack):
         s = raw(tables, own_pack, slab_pack)
@@ -580,7 +842,7 @@ def make_rho_star_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
 
 
 def make_paccel_pass(*, block, ccol, n_blocks, inv_h2, inv_h, rho0_delta,
-                     interpret=False, **_):
+                     interpret=False, sub=None, **_):
     """Pressure-force pair sums (sphFluid.cl:1101-1212): for 0 < q < 1
     pairs, term = (1-q)^2 * 0.5 * (p_i + p_j)/rho*_j, anti-clump
     substitution below q = 0.25; direction = unit(x_i - x_j), scaled by
@@ -623,9 +885,32 @@ def make_paccel_pass(*, block, ccol, n_blocks, inv_h2, inv_h, rho0_delta,
         ax, ay, az = accs
         return ax + s[0], ay + s[1], az + s[2]
 
-    raw = _make_pass(prep, tile, own_cols=PACC_COLS,
-                     slab_cols=PACC_COLS, n_outputs=3, block=block,
-                     ccol=ccol, n_blocks=n_blocks, interpret=interpret)
+    if sub and sub < block:
+        def prep_c(orow, ocol):
+            return dict(oc=[ocol(k) for k in range(3)], po=ocol(4))
+
+        def tile_c(own, slab, ctx, accs):
+            r2 = _r2_of(own["oc"], slab)
+            inv_r = jax.lax.rsqrt(jnp.maximum(r2, 1e-30))
+            r = r2 * inv_r
+            t = jnp.maximum(h - r, 0.0)
+            inv_srho = _srow(slab, 3)
+            sp = _srow(slab, 4)
+            far = t * t * (own["po"] + sp)
+            cm = h4 - r
+            close = cm * cm * rho0_delta_f
+            term = jnp.where(cm > 0.0, close, far) * inv_srho
+            w = jnp.where(r2 > 0.0, term * inv_r, 0.0)
+            s = _wsum3c(w, slab, 0, own3=own["oc"])
+            ax, ay, az = accs
+            return ax + s[0], ay + s[1], az + s[2]
+
+        prep, tile = prep_c, tile_c
+
+    raw = _maker(block, sub)(prep, tile, own_cols=PACC_COLS,
+                             slab_cols=PACC_COLS, n_outputs=3, block=block,
+                             ccol=ccol, n_blocks=n_blocks,
+                             interpret=interpret)
     # in-kernel w = 2h * (reference w): the r-domain terms carry h^2 and
     # drop the common 0.5; with the reference's final inv_h gradient
     # scale the reduced outputs need x inv_h/(2h) = 0.5 * inv_h^2

@@ -81,7 +81,11 @@ def make_halo_fast_multi_step(
     n_steps: int = 1,
     halo_pad: int | None = None,
 ):
-    """Jitted run(state, springs, membranes) -> (state, halo_overflow).
+    """Jitted run(state, springs, membranes) -> (state, diag) with
+    ``diag = {"halo_overflow": int, "window_drift": f32}`` — overflow is
+    the count of window bounds clipped by the halo band (pairs dropped;
+    raise halo_pad), window_drift the staleness bound of core.fast
+    (max-over-periods sum of per-step max Euclidean displacement).
 
     Scaling contract (r3): the steady state (between resorts) runs NO
     O(N) collective — per step each device ppermutes only its halo edge
@@ -245,7 +249,11 @@ def make_halo_fast_multi_step(
         )
         pencil_s = pencil[order]
 
-        tables_g, _, pranges = F._window_tables(pencil_s, cfg)
+        # (subgroup gating is a single-chip fast-engine feature for now:
+        # the halo remap below rewrites the block tables into local slab
+        # coordinates, which the subgroup tables would also need — the
+        # halo passes are built with sub=None and ignore cfg.sub)
+        tables_g, _, pranges, _gtabs = F._window_tables(pencil_s, cfg)
         aln_g, lo_g, hi_g, s0_g, cnt_g, _ = tables_g
 
         dev = jax.lax.axis_index(ax)
@@ -425,11 +433,15 @@ def make_halo_fast_multi_step(
             # triangle vertices as LOCAL slab coordinates: any triangle
             # whose column matters (within r0 of an own row) has all
             # vertices within h of own rows, i.e. inside the halo band;
-            # out-of-slab vertices are clamped and only ever feed
-            # zero-weight columns
+            # a triangle with ANY out-of-slab vertex is zeroed (its normal
+            # would otherwise be silently computed from a clamped — wrong
+            # — vertex; ADVICE r3) — it can only belong to columns whose
+            # weight is zero on this device
             tri_rows = inv[membranes.tris]               # [M,3] sorted rows
-            tri_cols = jnp.clip(
-                tri_rows + P0 - base, 0, slab_size - 1)  # per-device
+            tri_raw = tri_rows + P0 - base
+            tri_in_slab = ((tri_raw >= 0) & (tri_raw < slab_size)).all(
+                axis=1, keepdims=True)                   # [M,1] per-device
+            tri_cols = jnp.clip(tri_raw, 0, slab_size - 1)
             # slab column of each eid on this device (may be OOB -> drop)
             el_cols = el_rows - base + P0
             has_mem_orig = jnp.zeros(n, jnp.float32).at[
@@ -452,7 +464,7 @@ def make_halo_fast_multi_step(
 
         # ---- inner step ---------------------------------------------------
         def inner(carry, _):
-            xo, yo, zo, vxo, vyo, vzo, act, step_no = carry
+            xo, yo, zo, vxo, vyo, vzo, act, step_no, drift = carry
             xs, ys, zs, vxs_t, vys_t, vzs_t = exchange(
                 [xo, yo, zo, vxo, vyo, vzo],
                 [far, far, far, 0.0, 0.0, 0.0],
@@ -620,7 +632,7 @@ def make_halo_fast_multi_step(
                 a3 = vabc[:, 0, :3]
                 u3 = vabc[:, 1, :3] - a3
                 w3 = vabc[:, 2, :3] - a3
-                tn = jnp.cross(u3, w3)
+                tn = jnp.cross(u3, w3) * tri_in_slab
                 tl2 = jnp.sum(tn * tn, axis=1, keepdims=True)
                 til = jnp.where(
                     tl2 > 0, jax.lax.rsqrt(jnp.maximum(tl2, 1e-30)), 0.0)
@@ -668,13 +680,22 @@ def make_halo_fast_multi_step(
                 act_next = muscle.next_activation(step_no)
             else:
                 act_next = act
-            return (xn, yn, zn, vax, vay, vaz, act_next, step_no + 1), None
+            # window-staleness bound (ADVICE r3): per-step max Euclidean
+            # displacement, summed over the period (see core.fast)
+            d2 = ((xn - own_x) * (xn - own_x)
+                  + (yn - own_y) * (yn - own_y)
+                  + (zn - own_z) * (zn - own_z))
+            drift = drift + jnp.sqrt(jnp.max(d2))
+            return (xn, yn, zn, vax, vay, vaz, act_next, step_no + 1,
+                    drift), None
 
         carry0 = (own_of(xs0), own_of(ys0), own_of(zs0),
                   own_of(vx0), own_of(vy0), own_of(vz0),
-                  state_l.muscle_activation, state_l.step)
+                  state_l.muscle_activation, state_l.step,
+                  jnp.zeros((), jnp.float32))
         carry, _ = jax.lax.scan(inner, carry0, None, length=r_steps)
-        xn, yn, zn, vxn, vyn, vzn, act, step_no = carry
+        xn, yn, zn, vxn, vyn, vzn, act, step_no, drift = carry
+        drift = jax.lax.pmax(drift, ax)
 
         # ---- re-globalize own rows, unsort, slice original shard ---------
         def agp(a):  # [n_pad_loc] -> global sorted [cfg.n_pad]
@@ -692,25 +713,27 @@ def make_halo_fast_multi_step(
             pos=pos_new, vel=vel_new, ptype=state_l.ptype,
             normal=state_l.normal, muscle_activation=act, step=step_no,
         )
-        return new_state, overflow
+        return new_state, overflow, drift
 
     r_every = max(1, cfg.resort_every)
     full, rem = divmod(n_steps, r_every)
 
     def stepper(state, springs, membranes):
         ovf = jnp.zeros((), jnp.int32)
+        drf = jnp.zeros((), jnp.float32)
         if full:
             def body(c, _):
-                s, o = c
-                s2, o2 = sweep(s, springs, membranes, r_every)
-                return (s2, jnp.maximum(o, o2)), None
+                s, o, d = c
+                s2, o2, d2 = sweep(s, springs, membranes, r_every)
+                return (s2, jnp.maximum(o, o2), jnp.maximum(d, d2)), None
 
-            (state, ovf), _ = jax.lax.scan(
-                body, (state, ovf), None, length=full)
+            (state, ovf, drf), _ = jax.lax.scan(
+                body, (state, ovf, drf), None, length=full)
         if rem:
-            state, o2 = sweep(state, springs, membranes, rem)
+            state, o2, d2 = sweep(state, springs, membranes, rem)
             ovf = jnp.maximum(ovf, o2)
-        return state, ovf
+            drf = jnp.maximum(drf, d2)
+        return state, {"halo_overflow": ovf, "window_drift": drf}
 
     state_specs = FluidState(
         pos=P(ax), vel=P(ax), ptype=P(ax), normal=P(ax),
@@ -722,7 +745,8 @@ def make_halo_fast_multi_step(
         stepper,
         mesh=mesh,
         in_specs=(state_specs, springs_specs, membranes_specs),
-        out_specs=(state_specs, P()),
+        out_specs=(state_specs, {"halo_overflow": P(),
+                                 "window_drift": P()}),
         check_vma=False,
     )
     return jax.jit(sharded)

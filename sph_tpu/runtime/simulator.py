@@ -143,24 +143,45 @@ class Simulator:
                 )
 
                 def run(state, springs, membranes, _h=halo_run):
-                    out, overflow = _h(state, springs, membranes)
+                    out, diag = _h(state, springs, membranes)
                     # accumulate across chunk calls (a transient overflow
                     # in an early chunk must not be masked by a clean
                     # final chunk); lazy device max — no host sync here
                     prev = getattr(self, "_halo_overflow", 0)
                     self._halo_overflow = jax.numpy.maximum(
-                        jax.numpy.asarray(overflow), jax.numpy.asarray(prev)
+                        jax.numpy.asarray(diag["halo_overflow"]),
+                        jax.numpy.asarray(prev),
                     )
+                    self._track_drift(diag["window_drift"])
                     return out
 
                 self._fast_runs[n] = run
             else:
                 from ..core.fast import make_fast_multi_step
 
-                self._fast_runs[n] = make_fast_multi_step(
-                    self.params, self.layout, self._fast_cfg, n
+                fast_run = make_fast_multi_step(
+                    self.params, self.layout, self._fast_cfg, n,
+                    return_drift=True,
                 )
+
+                def run(state, springs, membranes, _f=fast_run):
+                    out, drift = _f(state, springs, membranes)
+                    self._track_drift(drift)
+                    return out
+
+                self._fast_runs[n] = run
         return self._fast_runs[n]
+
+    def _track_drift(self, drift):
+        """Window-staleness bound, accumulated IN the compiled scan
+        (ADVICE r3): per resort period, the sum of per-step max Euclidean
+        displacements — bounding intra-period excursions, not just the
+        net per-axis motion. Lazy device max over chunks, no host sync."""
+        prev = getattr(self, "_window_drift", 0.0)
+        self._window_drift = jax.numpy.maximum(
+            jax.numpy.asarray(drift),
+            jax.numpy.asarray(prev, jax.numpy.asarray(drift).dtype),
+        )
 
     def _run(self, n: int):
         if self.engine in ("fast", "halo"):
@@ -171,22 +192,9 @@ class Simulator:
             chunk = self._fast_chunk
             state = self.state
             for size in [chunk] * (n // chunk) + [1] * (n % chunk):
-                prev_pos = state.pos
                 state = self._fast_run_for(size)(
                     state, self.springs, self.membranes
                 )
-                if size > 1:
-                    # window-staleness diagnostic: pair windows are exact
-                    # at sort time only; drift within a resort period can
-                    # pull just-out-of-window pairs inside reach h.
-                    # Lazy device max over chunks — no host sync here.
-                    drift = jax.numpy.max(
-                        jax.numpy.abs(state.pos - prev_pos)
-                    )
-                    prev = getattr(self, "_window_drift", 0.0)
-                    self._window_drift = jax.numpy.maximum(
-                        drift, jax.numpy.asarray(prev, drift.dtype)
-                    )
             return state
         return multi_step(self.state, self.springs, self.membranes,
                           self.params, self.layout, n)
@@ -245,13 +253,16 @@ class Simulator:
                 self.step_count, bad,
             )
         if self.engine in ("fast", "halo"):
-            # worst per-resort-period drift since the last check (units of
-            # h); beyond ~h/4 the stale-window deviation stops being
-            # negligible — shorten resort_every (BASELINE.md "window
-            # staleness" quantifies the effect)
+            # worst per-resort-period PAIR-APPROACH bound since the last
+            # check, in units of h: 2x the in-scan sum of per-step max
+            # Euclidean displacements (two particles can converge at twice
+            # the single-particle bound, and the sum covers intra-period
+            # excursions — ADVICE r3). Beyond ~h/4 the stale-window
+            # deviation stops being negligible — shorten resort_every
+            # (BASELINE.md "window staleness" quantifies the effect).
             drift = float(getattr(self, "_window_drift", 0.0))
             self._window_drift = 0.0
-            out["window_drift_h"] = drift / self.params.h
+            out["window_drift_h"] = 2.0 * drift / self.params.h
             if out["window_drift_h"] > 0.25:
                 logger.warning(
                     "window drift %.2f h within a resort period at step %d "

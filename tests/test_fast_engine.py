@@ -123,6 +123,32 @@ def test_fast_membranes():
     assert np.asarray(ref.pos)[4, 1] > pos[4, 1]
 
 
+def test_fast_subgroup_gated_matches_ungated():
+    """sub=32 subgroup-gated main passes vs the plain block passes: gated
+    (tile x subgroup) skips contribute exact zeros, so the only deviation
+    is MXU reduction-operand order in the column-major dots (~1e-10/step);
+    also cross-check against the exact engine at the standard tolerance."""
+    params = SimParams(x_max=8 * H, y_max=8 * H, z_max=8 * H)
+    scene = generate_liquid_box_scene(params, fill_fraction=0.5)
+    state, springs, membranes = scene.device_state()
+    layout = scene.layout()
+    outs = {}
+    for sub in (None, 32):
+        cfg = compute_fast_config(scene.pos, params, block=128, ccol=128,
+                                  interpret=True, sub=sub)
+        outs[sub] = make_fast_multi_step(params, layout, cfg, 3)(
+            state, springs, membranes)
+    np.testing.assert_allclose(np.asarray(outs[32].pos),
+                               np.asarray(outs[None].pos),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs[32].vel),
+                               np.asarray(outs[None].vel),
+                               rtol=0, atol=1e-5)
+    ref = multi_step(state, springs, membranes, params, layout, 3)
+    np.testing.assert_allclose(np.asarray(outs[32].pos),
+                               np.asarray(ref.pos), rtol=0, atol=5e-5)
+
+
 def test_fast_matches_exact_with_box_min_offset():
     """Nonzero box_min: fast-engine cell binning must subtract the box origin
     exactly like grid.cell_coords_of, or slab windows shift and clip."""

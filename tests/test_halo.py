@@ -43,8 +43,9 @@ def _run_both(scene, params, n_dev, steps, halo_pad, block=256,
     run = make_halo_fast_multi_step(
         mesh, params, layout, cfg, steps, halo_pad=halo_pad
     )
-    out, overflow = run(shard_state(state, mesh), springs, membranes)
-    return ref, out, int(overflow)
+    out, diag = run(shard_state(state, mesh), springs, membranes)
+    assert float(diag["window_drift"]) >= 0.0
+    return ref, out, int(diag["halo_overflow"])
 
 
 def test_halo_matches_fast_box(n_dev):
@@ -150,8 +151,8 @@ def test_halo_multi_worm():
     halo = make_halo_fast_multi_step(
         mesh, wide, layout, cfg, n_steps=3, halo_pad=2048
     )
-    out, overflow = halo(shard_state(state, mesh), springs, membranes)
-    assert int(overflow) == 0
+    out, diag = halo(shard_state(state, mesh), springs, membranes)
+    assert int(diag["halo_overflow"]) == 0
     ref = make_fast_multi_step(wide, layout, cfg, 3)(
         state, springs, membranes)
     err = float(np.abs(np.asarray(out.pos) - np.asarray(ref.pos)).max())
