@@ -99,6 +99,64 @@ def test_simulator_halo_engine(n_dev):
     assert out["halo_overflow"] == 0
 
 
+def test_distributed_resort_matches_replicated(n_dev):
+    """The O(cells) distributed resort (histogram ranks + neighbor-only
+    migration, halo.py round 4) vs the replicated all-gather resort,
+    crossing MULTIPLE resort boundaries. Intra-cell order differs (stable
+    w.r.t. previous sorted order vs original ids), so agreement is to f32
+    round-off, not bitwise."""
+    params = SimParams(x_max=6 * H, y_max=6 * H, z_max=60 * H)
+    scene = generate_liquid_box_scene(params, fill_fraction=0.5)
+    block = 128
+    scene = pad_scene_to_devices(scene, n_dev * block)
+    state, springs, membranes = scene.device_state()
+    layout = scene.layout()
+    cfg = compute_fast_config(
+        scene.pos, params, block=block, resort_every=3
+    )
+    mesh = make_mesh(n_dev)
+    outs = {}
+    for dist in (False, True):
+        run = make_halo_fast_multi_step(
+            mesh, params, layout, cfg, n_steps=8, halo_pad=512,
+            distributed_resort=dist,
+        )
+        out, diag = run(shard_state(state, mesh), springs, membranes)
+        assert int(diag["halo_overflow"]) == 0
+        if dist:
+            assert int(diag["resort_overflow"]) == 0
+        outs[dist] = out
+    err = float(np.abs(np.asarray(outs[True].pos)
+                       - np.asarray(outs[False].pos)).max())
+    assert err <= 5e-5, err
+    assert int(outs[True].step) == 8
+
+
+def test_distributed_resort_worm(n_dev):
+    """Full physics (springs + muscles + membranes) under the distributed
+    resort, crossing a resort boundary."""
+    params = SimParams(x_max=20 * H, y_max=12 * H, z_max=110 * H)
+    scene = generate_worm_scene(params)
+    scene = pad_scene_to_devices(scene, n_dev * 128)
+    state, springs, membranes = scene.device_state()
+    layout = scene.layout()
+    cfg = compute_fast_config(
+        scene.pos, params, block=128, resort_every=2
+    )
+    mesh = make_mesh(n_dev)
+    run = make_halo_fast_multi_step(
+        mesh, params, layout, cfg, n_steps=3, halo_pad=2048,
+        distributed_resort=True,
+    )
+    out, diag = run(shard_state(state, mesh), springs, membranes)
+    assert int(diag["halo_overflow"]) == 0
+    assert int(diag["resort_overflow"]) == 0
+    ref = make_fast_multi_step(params, layout, cfg, 3)(
+        state, springs, membranes)
+    err = float(np.abs(np.asarray(out.pos) - np.asarray(ref.pos)).max())
+    assert err <= 5e-5, err
+
+
 def test_measure_halo_pad():
     """Scene-measured halo band: covers the densest two z-rows with
     margin, ALIGN-rounded, and at least ALIGN."""
