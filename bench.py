@@ -130,7 +130,7 @@ def _is_backend_death(exc: BaseException) -> bool:
     ))
 
 
-def gate_box_equivalence(params):
+def gate_box_equivalence(params, sub=None):
     """Fast vs exact engines, both COMPILED on the current device.
 
     resort_every=1 so the pair windows are fresh every step: the exact
@@ -166,13 +166,14 @@ def gate_box_equivalence(params):
     layout = scene.layout()
     ref = multi_step(state, springs, membranes, p, layout, 10)
     cfg = dataclasses.replace(
-        compute_fast_config(scene.pos, p), resort_every=1)
+        compute_fast_config(scene.pos, p, sub=sub), resort_every=1)
     fast = make_fast_multi_step(p, layout, cfg, 10)(state, springs,
                                                     membranes)
     d = float(jnp.max(jnp.abs(fast.pos - ref.pos)))
     ok = bool(np.isfinite(d)) and d <= 1e-4
     log(f"# GATE box fast-vs-exact ({len(pos)} particles, 10 steps, "
-        f"compiled): max|dpos|={d:.2e} -> {'PASS' if ok else 'FAIL'}")
+        f"compiled, sub={sub}): max|dpos|={d:.2e} -> "
+        f"{'PASS' if ok else 'FAIL'}")
     return ok
 
 
@@ -209,14 +210,14 @@ def gate_worm_integrity(scene, params, state):
     return ok
 
 
-def run_engine(engine, scene, params, chunk, budget_s):
+def run_engine(engine, scene, params, chunk, budget_s, sub=None):
     from sph_tpu.core.step import multi_step
     from sph_tpu.core.fast import compute_fast_config, make_fast_multi_step
 
     state, springs, membranes = scene.device_state()
     layout = scene.layout()
     if engine == "fast":
-        cfg = compute_fast_config(scene.pos, params)
+        cfg = compute_fast_config(scene.pos, params, sub=sub)
         run = make_fast_multi_step(params, layout, cfg, chunk)
 
         def advance(s):
@@ -293,13 +294,18 @@ def main() -> int:
         build_s = time.time() - t0
         n = scene.n_particles
 
+        # subgroup-gated main passes (round 4: 1,617 -> 819 computed
+        # candidate columns/particle at sub=32); SPH_BENCH_SUB=0 disables
+        sub_env = os.environ.get("SPH_BENCH_SUB", "32")
+        sub = int(sub_env) if sub_env.isdigit() and int(sub_env) > 0 \
+            else None
         engine = "fast"
         try:
             # chunk 30 = one full resort period per call (resort_every
             # default 30; the nested-scan graph compiles like the 10-step
             # one) — the resort machinery amortizes 3x further than chunk 10
             steps, wall, compile_s, end_state = run_engine(
-                "fast", scene, params, 30, 90.0)
+                "fast", scene, params, 30, 90.0, sub=sub)
         except Exception as e:
             traceback.print_exc(file=sys.stderr)
             if _is_backend_death(e):
@@ -307,16 +313,33 @@ def main() -> int:
                 log(f"# {reason} — NOT retrying on a dead backend")
                 emit(0.0, reason=reason)
                 return 0
-            log("# fast engine failed; falling back to exact")
-            engine = "exact"
-            steps, wall, compile_s, end_state = run_engine(
-                "exact", scene, params, 5, 120.0)
+            retried = False
+            if sub is not None:
+                # the gated kernels are the newest Mosaic surface: a
+                # compile failure there must not cost the fast engine
+                log("# fast engine (sub-gated) failed; retrying ungated")
+                try:
+                    sub = None
+                    steps, wall, compile_s, end_state = run_engine(
+                        "fast", scene, params, 30, 90.0, sub=None)
+                    retried = True
+                except Exception as e2:
+                    traceback.print_exc(file=sys.stderr)
+                    if _is_backend_death(e2):
+                        emit(0.0, reason="backend died mid-bench: "
+                                          f"{str(e2)[:200]}")
+                        return 0
+            if not retried:
+                log("# fast engine failed; falling back to exact")
+                engine = "exact"
+                steps, wall, compile_s, end_state = run_engine(
+                    "exact", scene, params, 5, 120.0)
 
         gate_ok = True
         try:
             gate_ok = gate_worm_integrity(scene, params, end_state) and gate_ok
             if engine == "fast":
-                gate_ok = gate_box_equivalence(params) and gate_ok
+                gate_ok = gate_box_equivalence(params, sub=sub) and gate_ok
         except Exception as e:
             traceback.print_exc(file=sys.stderr)
             if _is_backend_death(e):
