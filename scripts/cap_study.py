@@ -23,12 +23,18 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--every", type=int, default=10)
     ap.add_argument("--record", action="store_true")
+    ap.add_argument(
+        "--cached", type=int, default=0, metavar="K",
+        help="use multi_step_cached with refresh_every=K as the exact "
+             "engine (the practical-cost oracle: the neighbor phase — "
+             "the dominant exact cost — runs once per K steps; "
+             "bit-identical to multi_step at K=1)")
     args = ap.parse_args()
 
     from sph_tpu.config import SimParams
     from sph_tpu.scene import generate_worm_scene
     from sph_tpu.core.fast import compute_fast_config, make_fast_multi_step
-    from sph_tpu.core.step import multi_step, diagnostics
+    from sph_tpu.core.step import multi_step, multi_step_cached, diagnostics
     from sph_tpu.constants import BOUNDARY_PARTICLE, LIQUID_PARTICLE
 
     params = SimParams()
@@ -45,10 +51,16 @@ def main():
         out, s = [], state0
         t0 = time.time()
         for k in checkpoints:
-            s = multi_step(s, springs, membranes, p, layout,
-                           args.every)
+            if args.cached > 0:
+                s = multi_step_cached(s, springs, membranes, p, layout,
+                                      args.every,
+                                      refresh_every=args.cached)
+            else:
+                s = multi_step(s, springs, membranes, p, layout,
+                               args.every)
             out.append(np.asarray(s.pos))
-        print(f"exact cap={cap}: {args.steps} steps "
+        tag = f" (cached K={args.cached})" if args.cached > 0 else ""
+        print(f"exact cap={cap}{tag}: {args.steps} steps "
               f"({time.time()-t0:.0f}s)", flush=True)
         return out, s
 

@@ -91,15 +91,29 @@ def step_fn(
     Same stage order as `owPhysicsFluidSimulator.cpp:79-149`.
     """
     pos = vec3.split(state.pos)
-    vel = vec3.split(state.vel)
-    normal = vec3.split(state.normal)
-    ptype = state.ptype
-
     ids = jnp.arange(layout.n_particles, dtype=jnp.int32)
 
     # -- neighbor phase --
     grid = build_grid(pos, params)
     nbrs = find_neighbors(pos, ids, pos, grid, params)
+    return step_core(state, springs, membranes, params, layout, nbrs)
+
+
+def step_core(
+    state: FluidState,
+    springs: Springs,
+    membranes: Membranes,
+    params: SimParams,
+    layout: SceneLayout,
+    nbrs,
+) -> FluidState:
+    """The step stages after the neighbor phase (everything consumes the
+    NeighborList). Split out so multi_step_cached can run them against a
+    cached-index list with freshened distances."""
+    pos = vec3.split(state.pos)
+    vel = vec3.split(state.vel)
+    normal = vec3.split(state.normal)
+    ptype = state.ptype
 
     # -- forces at time t --
     rho = compute_density(nbrs, params)
@@ -166,6 +180,69 @@ def multi_step(
 
     out, _ = jax.lax.scan(body, state, None, length=n_steps)
     return out
+
+
+@partial(jax.jit, static_argnames=("params", "layout", "n_steps",
+                                   "refresh_every"))
+def multi_step_cached(
+    state: FluidState,
+    springs: Springs,
+    membranes: Membranes,
+    params: SimParams,
+    layout: SceneLayout,
+    n_steps: int,
+    refresh_every: int = 10,
+) -> FluidState:
+    """``multi_step`` with CACHED neighbor indices (VERDICT r3 #7): the
+    8-cell candidate gather + top-k — the dominant exact-engine cost at
+    dense-scene scale — runs once per ``refresh_every`` steps; between
+    refreshes only the [N, 32] pair distances are recomputed from current
+    positions each step (pairs drifting beyond h are invalidated, so the
+    kernel support is still exact). This matches the reference's own
+    semantics of reusing structure between sorts and the fast engine's
+    window-staleness class; at ``refresh_every=1`` it is bit-identical to
+    ``multi_step``. Intended as the practical-cost dense-scene ORACLE for
+    deviation studies (cap studies, stale-window A/Bs), not as a perf
+    path."""
+    from .neighbors import NeighborList
+
+    ids = jnp.arange(layout.n_particles, dtype=jnp.int32)
+    h2 = jnp.float32(params.h * params.h)
+    inv_h = jnp.float32(1.0 / params.h)
+
+    def freshen(s, idx):
+        pos = vec3.split(s.pos)
+        safe = jnp.maximum(idx, 0)
+        d2 = (pos.x[:, None] - pos.x[safe]) ** 2
+        d2 = d2 + (pos.y[:, None] - pos.y[safe]) ** 2
+        d2 = d2 + (pos.z[:, None] - pos.z[safe]) ** 2
+        valid = (idx >= 0) & (d2 <= h2)
+        q = jnp.where(valid, jnp.sqrt(jnp.maximum(d2, 0.0)) * inv_h, 0.0)
+        return NeighborList(idx=jnp.where(valid, idx, -1), q=q,
+                            valid=valid)
+
+    def sweep(s, k):
+        pos = vec3.split(s.pos)
+        grid = build_grid(pos, params)
+        idx = find_neighbors(pos, ids, pos, grid, params).idx
+
+        def body(s, _):
+            out = step_core(s, springs, membranes, params, layout,
+                            freshen(s, idx))
+            return out, None
+
+        out, _ = jax.lax.scan(body, s, None, length=k)
+        return out
+
+    full, rem = divmod(n_steps, max(1, refresh_every))
+    if full:
+        state, _ = jax.lax.scan(
+            lambda s, _: (sweep(s, refresh_every), None), state, None,
+            length=full,
+        )
+    if rem:
+        state = sweep(state, rem)
+    return state
 
 
 @partial(jax.jit, static_argnames=("params",))

@@ -1,9 +1,11 @@
-from .mesh import make_mesh, pad_scene_to_devices
+from .mesh import dcn_edges, make_mesh, make_mesh2, pad_scene_to_devices
 from .sharded import make_sharded_step, shard_state
 from .halo import make_halo_fast_multi_step, measure_halo_pad
 
 __all__ = [
+    "dcn_edges",
     "make_mesh",
+    "make_mesh2",
     "pad_scene_to_devices",
     "make_sharded_step",
     "make_halo_fast_multi_step",

@@ -24,6 +24,45 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.asarray(devs), (PARTICLE_AXIS,))
 
 
+def make_mesh2(n_slices: int, chips_per_slice: int) -> Mesh:
+    """Two-level (slices x chips) mesh for multi-host / multi-slice runs,
+    flattened SLICE-MAJOR onto the particle axis.
+
+    The halo engine's communication is a 1-D neighbor chain over sorted
+    z-slabs, so the two-level topology reduces to device ORDER: with
+    slice-major flattening, rank i and i+1 share a slice (ICI) except at
+    the ``n_slices - 1`` slice boundaries (DCN). Per step, each edge
+    carries the fixed halo bands (~1.02 MB/step/device measured on the
+    worm at halo_pad=5120, r3) — so DCN sees only 2/(ndev) of edge
+    traffic, independent of scale. Collectives that touch every device —
+    the distributed resort's [ndev, n_cells] histogram all-gather and the
+    O(npen)/O(n_el) psums, plus the once-per-call entry/exit O(N)
+    gathers — cross DCN hierarchically (XLA reduces intra-slice over ICI
+    first).
+
+    On a real multi-host pod ``jax.devices()`` already enumerates
+    process-major (= slice-major), so this ordering is the physical one;
+    under ``xla_force_host_platform_device_count`` it simulates it.
+    """
+    need = n_slices * chips_per_slice
+    devs = jax.devices()
+    assert len(devs) >= need, (
+        f"mesh2 {n_slices}x{chips_per_slice} needs {need} devices, "
+        f"have {len(devs)}"
+    )
+    arr = np.asarray(devs[:need]).reshape(n_slices, chips_per_slice)
+    return Mesh(arr.reshape(-1), (PARTICLE_AXIS,))
+
+
+def dcn_edges(n_slices: int, chips_per_slice: int) -> list[tuple[int, int]]:
+    """The (rank, rank+1) halo-exchange edges that cross a slice (DCN)
+    boundary under the slice-major order of :func:`make_mesh2`."""
+    return [
+        (k * chips_per_slice - 1, k * chips_per_slice)
+        for k in range(1, n_slices)
+    ]
+
+
 def pad_scene_to_devices(scene: Scene, n_devices: int) -> Scene:
     """Pad the particle count to a multiple of the device count.
 

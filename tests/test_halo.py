@@ -215,3 +215,38 @@ def test_halo_multi_worm():
         state, springs, membranes)
     err = float(np.abs(np.asarray(out.pos) - np.asarray(ref.pos)).max())
     assert err <= 5e-5, err
+
+
+def test_mesh2_two_level(n_dev):
+    """2x4 two-level (slices x chips) mesh: the halo engine runs
+    unchanged over the slice-major flattening (the 1-D neighbor chain is
+    the whole comm pattern), and dcn_edges identifies exactly the
+    slice-boundary edges that would ride DCN on a real pod."""
+    from sph_tpu.parallel import dcn_edges, make_mesh2
+
+    if n_dev < 8:
+        pytest.skip("needs 8 virtual devices")
+    assert dcn_edges(2, 4) == [(3, 4)]
+    assert dcn_edges(4, 2) == [(1, 2), (3, 4), (5, 6)]
+
+    params = SimParams(x_max=6 * H, y_max=6 * H, z_max=60 * H)
+    scene = generate_liquid_box_scene(params, fill_fraction=0.5)
+    block = 128
+    scene = pad_scene_to_devices(scene, 8 * block)
+    state, springs, membranes = scene.device_state()
+    layout = scene.layout()
+    cfg = compute_fast_config(
+        scene.pos, params, block=block, resort_every=3
+    )
+    mesh = make_mesh2(2, 4)
+    run = make_halo_fast_multi_step(
+        mesh, params, layout, cfg, n_steps=4, halo_pad=512,
+        distributed_resort=True,
+    )
+    out, diag = run(shard_state(state, mesh), springs, membranes)
+    assert int(diag["halo_overflow"]) == 0
+    assert int(diag["resort_overflow"]) == 0
+    ref = make_fast_multi_step(params, layout, cfg, 4)(
+        state, springs, membranes)
+    err = float(np.abs(np.asarray(out.pos) - np.asarray(ref.pos)).max())
+    assert err <= 5e-5, err

@@ -263,3 +263,36 @@ def test_elastic_force_unit():
     expect_x = (r - rest) * params.k_spring
     np.testing.assert_allclose(a[0], [expect_x, 0, 0], rtol=1e-4)
     np.testing.assert_allclose(a[1], 0.0)
+
+
+def test_multi_step_cached_neighbors():
+    """multi_step_cached (the practical-cost dense-scene oracle): at
+    refresh_every=1 it is BIT-identical to multi_step (same index order,
+    same f32 distance arithmetic); at refresh_every=3 over 6 gentle steps
+    the stale-index deviation stays in the q~1 round-off class."""
+    from sph_tpu.core.state import make_state
+    from sph_tpu.core.step import multi_step, multi_step_cached
+
+    params = small_params()
+    pos, vel = liquid_blob(params, n_side=6, seed=2, vel_scale=0.02)
+    n = len(pos)
+    ptype = np.full(n, LIQUID_PARTICLE, np.int32)
+    state = make_state(pos, vel, ptype, np.zeros((n, 3), np.float32))
+    springs = empty_springs()
+    membranes = empty_membranes(n)
+    lay = SceneLayout(n_particles=n, liquid_range=(0, n))
+
+    ref = multi_step(state, springs, membranes, params, lay, 6)
+    exact1 = multi_step_cached(state, springs, membranes, params, lay, 6,
+                               refresh_every=1)
+    np.testing.assert_array_equal(np.asarray(exact1.pos),
+                                  np.asarray(ref.pos))
+    np.testing.assert_array_equal(np.asarray(exact1.vel),
+                                  np.asarray(ref.vel))
+
+    cached3 = multi_step_cached(state, springs, membranes, params, lay, 6,
+                                refresh_every=3)
+    assert int(cached3.step) == 6
+    d = np.abs(np.asarray(cached3.pos) - np.asarray(ref.pos)).max()
+    assert np.isfinite(np.asarray(cached3.pos)).all()
+    assert d < 5e-3, d
