@@ -61,6 +61,7 @@ def cmd_run(args) -> int:
         dump_dir=args.dump, dump_interval=args.dump_every,
         log=print if args.verbose else None,
         engine=args.engine,
+        adaptive_resort=args.adaptive_resort,
     )
     if args.restore:
         sim.restore(args.restore)
@@ -158,6 +159,10 @@ def main(argv=None) -> int:
                         "fast = blocked Pallas pair engine; halo = fast "
                         "engine sharded over all devices (z-slab halo "
                         "exchange)")
+    p.add_argument("--adaptive-resort", action="store_true",
+                   help="fast/halo engines: shorten the resort period "
+                        "while the in-scan window-drift bound exceeds "
+                        "0.25 h (see Simulator.adaptive_resort)")
     p.add_argument("-v", "--verbose", action="store_true")
     p.set_defaults(fn=cmd_run)
 

@@ -40,6 +40,8 @@ class Simulator:
         dump_interval: int = 10,
         log=None,
         engine: str = "exact",
+        adaptive_resort: bool = False,
+        drift_threshold_h: float = 0.25,
     ):
         """engine: "exact" = neighbor-list engine (reference 32-cap
         semantics); "fast" = blocked Pallas pair engine (all pairs within h,
@@ -47,7 +49,16 @@ class Simulator:
         visible devices with ppermute halo exchange (parallel/halo.py;
         pads the scene to the device grid); "auto" = fast on a TPU
         backend, exact otherwise (the fast engine's Pallas kernels only
-        run interpreted on CPU)."""
+        run interpreted on CPU).
+
+        adaptive_resort (fast/halo engines): resort EARLY when the
+        in-scan window-staleness bound crosses ``drift_threshold_h``
+        (units of h) — after each chunk the simulator reads the chunk's
+        pair-approach bound (2x the summed per-step max displacement / h)
+        and halves the resort period while it exceeds the threshold,
+        doubling it back (with hysteresis) when dynamics calm down.
+        Costs one host sync per chunk; the period moves between
+        resort_every, /2 and /4 (at most 3 compiled graphs)."""
         self.params = params or SimParams()
         if engine == "auto":
             dev = jax.devices()[0]
@@ -104,6 +115,14 @@ class Simulator:
                 )
         else:
             raise ValueError(f"unknown engine {engine!r}")
+        self._adaptive = adaptive_resort and engine in ("fast", "halo")
+        self._drift_threshold_h = float(drift_threshold_h)
+        if self._adaptive:
+            base = self._fast_chunk
+            # descending period ladder: resort_every, /2, /4 (>= 1)
+            self._chunk_levels = sorted(
+                {max(1, base >> k) for k in range(3)}, reverse=True
+            )
         self.timer = StepTimer(log=log)
         self._dumper = (
             TrajectoryDumper(dump_dir, scene) if dump_dir else None
@@ -182,19 +201,45 @@ class Simulator:
             jax.numpy.asarray(drift),
             jax.numpy.asarray(prev, jax.numpy.asarray(drift).dtype),
         )
+        self._last_drift = drift  # lazy; adaptive resort syncs it
 
     def _run(self, n: int):
         if self.engine in ("fast", "halo"):
             # compile at most two graphs (a chunk-sized scan + a
             # single-step) regardless of how n varies across calls —
             # round-1 keyed a fresh ~minute-long compile on every distinct
-            # n (VERDICT r1 weak #2)
-            chunk = self._fast_chunk
+            # n (VERDICT r1 weak #2); adaptive mode moves along a 3-level
+            # period ladder (<= 4 graphs total)
             state = self.state
-            for size in [chunk] * (n // chunk) + [1] * (n % chunk):
+            remaining = n
+            while remaining > 0:
+                chunk = self._fast_chunk
+                size = chunk if remaining >= chunk else 1
                 state = self._fast_run_for(size)(
                     state, self.springs, self.membranes
                 )
+                remaining -= size
+                if self._adaptive and size > 1:
+                    # one scalar host sync per chunk: the chunk's in-scan
+                    # pair-approach bound decides the NEXT period
+                    ratio = 2.0 * float(
+                        jax.numpy.asarray(self._last_drift)
+                    ) / self.params.h
+                    lv = self._chunk_levels
+                    i = lv.index(chunk) if chunk in lv else 0
+                    if ratio > self._drift_threshold_h and i + 1 < len(lv):
+                        self._fast_chunk = lv[i + 1]
+                        logger.info(
+                            "adaptive resort: drift bound %.2f h > %.2f — "
+                            "period %d -> %d", ratio,
+                            self._drift_threshold_h, chunk, lv[i + 1],
+                        )
+                    elif (ratio < 0.4 * self._drift_threshold_h
+                          and i > 0):
+                        # hysteresis: doubling the period roughly doubles
+                        # the bound; only step up when even 2x stays
+                        # clearly under the threshold
+                        self._fast_chunk = lv[i - 1]
             return state
         return multi_step(self.state, self.springs, self.membranes,
                           self.params, self.layout, n)

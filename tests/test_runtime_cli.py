@@ -191,3 +191,23 @@ def test_window_drift_diagnostic():
     assert 0.0 <= out["window_drift_h"] < 10.0
     # read-and-reset: a second check with no stepping reports 0
     assert sim.check_overflow()["window_drift_h"] == 0.0
+
+
+def test_adaptive_resort_moves_down_the_ladder():
+    """adaptive_resort: when the chunk's in-scan pair-approach bound
+    exceeds the threshold, the next resort period steps down the ladder
+    (here the threshold is set below the box's measured ~0.07 h/period
+    bound so the drop is deterministic); step count stays exact."""
+    scene, params = box_scene()
+    sim = Simulator(scene, params, engine="fast", adaptive_resort=True,
+                    drift_threshold_h=1e-3)
+    base = sim._fast_chunk
+    assert sim._chunk_levels[0] == base and len(sim._chunk_levels) <= 3
+    sim.step(base + 2)
+    assert sim.step_count == base + 2
+    assert sim._fast_chunk < base, (sim._fast_chunk, base)
+    # and with a generous threshold the period stays put
+    sim2 = Simulator(scene, params, engine="fast", adaptive_resort=True,
+                     drift_threshold_h=10.0)
+    sim2.step(base)
+    assert sim2._fast_chunk == base
