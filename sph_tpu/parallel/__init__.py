@@ -1,6 +1,10 @@
 from .mesh import dcn_edges, make_mesh, make_mesh2, pad_scene_to_devices
 from .sharded import make_sharded_step, shard_state
-from .halo import make_halo_fast_multi_step, measure_halo_pad
+from .halo import (
+    make_halo_fast_multi_step,
+    make_halo_session,
+    measure_halo_pad,
+)
 
 __all__ = [
     "dcn_edges",
@@ -9,6 +13,7 @@ __all__ = [
     "pad_scene_to_devices",
     "make_sharded_step",
     "make_halo_fast_multi_step",
+    "make_halo_session",
     "measure_halo_pad",
     "shard_state",
 ]

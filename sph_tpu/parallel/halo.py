@@ -86,6 +86,7 @@ def make_halo_fast_multi_step(
     n_steps: int = 1,
     halo_pad: int | None = None,
     distributed_resort: bool = False,
+    _session: bool = False,
 ):
     """Jitted run(state, springs, membranes) -> (state, diag) with
     ``diag = {"halo_overflow": int, "window_drift": f32}`` — overflow is
@@ -173,11 +174,18 @@ def make_halo_fast_multi_step(
     r0 = np.float32(params.r0)
     kw = dict(block=cfg.block, ccol=cfg.ccol, n_blocks=nb_loc,
               inv_h2=inv_h2, interpret=cfg.interpret)
-    density_pass = pk.make_density_pass(c_rho=c_rho, **kw)
-    viscsurf_pass = pk.make_viscsurf_pass(**kw)
-    rho_star_pass = pk.make_rho_star_pass(c_rho=c_rho, **kw)
+    # subgroup gating (round 4) applies to the four main-window passes,
+    # exactly as in core.fast; the per-(block, dz, subgroup) gate windows
+    # are rebuilt in LOCAL slab coordinates at each resort (both modes)
+    sub_on = bool(cfg.sub and cfg.sub < cfg.block)
+    n_grp = cfg.block // cfg.sub if sub_on else 0
+    mkw = dict(kw, sub=cfg.sub)
+    density_pass = pk.make_density_pass(c_rho=c_rho, **mkw)
+    viscsurf_pass = pk.make_viscsurf_pass(**mkw)
+    rho_star_pass = pk.make_rho_star_pass(c_rho=c_rho, **mkw)
     paccel_pass = pk.make_paccel_pass(
-        inv_h=inv_h, rho0_delta=np.float32(params.rho0 * params.delta), **kw
+        inv_h=inv_h, rho0_delta=np.float32(params.rho0 * params.delta),
+        **mkw
     )
     boundary_pass = pk.make_boundary_pass(r0=r0, **kw)
     membrane_pass = pk.make_membrane_pass(r0=r0, **kw)
@@ -500,6 +508,16 @@ def make_halo_fast_multi_step(
         tables = (aln_loc, lo_loc, hi_loc, s0_new, cnt_new, ob)
         return tables, lo_c, hi_c, cnt_new, overflow
 
+    def gate_local(glo_l, ghi_l, base):
+        """Subgroup gate windows in local slab coordinates: clamped to
+        the slab like the main windows (tiles only exist inside the
+        clamped main windows, so slab-clamping the gates loses nothing
+        relative to the tile set)."""
+        slab_lo = base
+        slab_hi = base + n_pad_loc + 2 * halo_pad
+        return (jnp.clip(glo_l, slab_lo, slab_hi) - base,
+                jnp.clip(ghi_l, slab_lo, slab_hi) - base)
+
     def build_spring_ctx(springs, el_rows, partner_row_of, base,
                          lo_c, hi_c, eid_own_rows, ob, n_el):
         """Compact-slab spring context (see the r3 compact pass notes in
@@ -622,11 +640,7 @@ def make_halo_fast_multi_step(
         )
         pencil_s = pencil[order]
 
-        # (subgroup gating is a single-chip fast-engine feature for now:
-        # the halo remap below rewrites the block tables into local slab
-        # coordinates, which the subgroup tables would also need — the
-        # halo passes are built with sub=None and ignore cfg.sub)
-        tables_g, _, pranges, _gtabs = F._window_tables(pencil_s, cfg)
+        tables_g, _, pranges, gtabs = F._window_tables(pencil_s, cfg)
         _aln_g, lo_g, hi_g, _s0_g, _cnt_g, _ = tables_g
 
         dev = jax.lax.axis_index(ax)
@@ -640,6 +654,16 @@ def make_halo_fast_multi_step(
             lo_l, hi_l, base)
         overflow = jax.lax.psum(ovf_loc, ax)
         ob = tables[5]
+        base6 = tables
+        gt = ()
+        if sub_on:
+            t0g = dev * nb_loc * 3 * n_grp
+            glo_l = jax.lax.dynamic_slice(
+                gtabs[0], (t0g,), (nb_loc * 3 * n_grp,)) + P0
+            ghi_l = jax.lax.dynamic_slice(
+                gtabs[1], (t0g,), (nb_loc * 3 * n_grp,)) + P0
+            gt = gate_local(glo_l, ghi_l, base)
+            tables = base6 + gt
 
         # sorted static fields, local slab slices
         def sl(a_g_sorted, fill):
@@ -670,7 +694,8 @@ def make_halo_fast_multi_step(
             isb_s[own_off:own_off + n_pad_loc]
             .reshape(nb_loc, cfg.block).min(axis=1) == 0
         )
-        force_tables = tables[:4] + (jnp.where(own_nonb, cnt_new, 0), ob)
+        force_tables = base6[:4] + (jnp.where(own_nonb, cnt_new, 0), ob,
+                                    *gt)
         seg_b = jax.ops.segment_sum(
             is_b[order], pencil_s, num_segments=cfg.n_pencils
         )
@@ -681,7 +706,7 @@ def make_halo_fast_multi_step(
         plo_l = jax.lax.dynamic_slice(plo_r, (dev * nb_loc, 0), (nb_loc, 3))
         phi_l = jax.lax.dynamic_slice(phi_r, (dev * nb_loc, 0), (nb_loc, 3))
         win_has_b = (csum_b[phi_l] - csum_b[plo_l]).sum(axis=1) > 0
-        bnd_tables = tables[:4] + (
+        bnd_tables = base6[:4] + (
             jnp.where(own_nonb & win_has_b, cnt_new, 0), ob)
 
         # ---- elastic-slot machinery (shared by springs + membranes) ------
@@ -739,7 +764,7 @@ def make_halo_fast_multi_step(
             )
             mem_ctx = build_mem_ctx(
                 membranes, el_rows, inv[membranes.tris], base, seg_m,
-                plo_l, phi_l, own_liq, tables, cnt_new, ob)
+                plo_l, phi_l, own_liq, base6, cnt_new, ob)
 
         # ---- per-resort context for the shared inner body -----------------
         ctx = dict(
@@ -948,6 +973,27 @@ def make_halo_fast_multi_step(
             lo_l, hi_l, base)
         ovf_win = jax.lax.psum(ovf_loc, ax)
         ob = tables[5]
+        base6 = tables
+        gt = ()
+        if sub_on:
+            # per-subgroup gate windows from local rows (same pattern as
+            # the block ranges above; unmerged dz bands, see core.fast)
+            rows_sg = jnp.arange(
+                nb_loc * n_grp, dtype=jnp.int32) * cfg.sub
+            last_sg = jnp.clip(rows_sg + cfg.sub - 1, 0,
+                               jnp.maximum(n - 1 - base0, 0))
+            first_gp = pen_n[rows_sg].reshape(nb_loc, n_grp)
+            last_gp = pen_n[last_sg].reshape(nb_loc, n_grp)
+            glos, ghis = [], []
+            for dz in (-1, 0, 1):
+                glos.append(
+                    pstart[jnp.clip(first_gp + dz * nx - 1, 0, npen)])
+                ghis.append(
+                    pstart[jnp.clip(last_gp + dz * nx + 2, 0, npen)])
+            glo_l = jnp.stack(glos, 1).reshape(-1) + P0
+            ghi_l = jnp.stack(ghis, 1).reshape(-1) + P0
+            gt = gate_local(glo_l, ghi_l, base)
+            tables = base6 + gt
 
         # ---- static fields: O(n_loc) gathers from replicated original-
         # order tables, then one halo exchange builds the slabs ---------
@@ -968,7 +1014,8 @@ def make_halo_fast_multi_step(
             isb_s[own_off:own_off + n_pad_loc]
             .reshape(nb_loc, cfg.block).min(axis=1) == 0
         )
-        force_tables = tables[:4] + (jnp.where(own_nonb, cnt_new, 0), ob)
+        force_tables = base6[:4] + (jnp.where(own_nonb, cnt_new, 0), ob,
+                                    *gt)
         pen_safe = jnp.where(realn, pen_n, npen)
 
         def pencil_count(w):
@@ -979,7 +1026,7 @@ def make_halo_fast_multi_step(
         csum_b = jnp.concatenate(
             [jnp.zeros(1, seg_b.dtype), jnp.cumsum(seg_b)])
         win_has_b = (csum_b[phi_l] - csum_b[plo_l]).sum(axis=1) > 0
-        bnd_tables = tables[:4] + (
+        bnd_tables = base6[:4] + (
             jnp.where(own_nonb & win_has_b, cnt_new, 0), ob)
 
         ctx = dict(
@@ -1051,7 +1098,7 @@ def make_halo_fast_multi_step(
             tri_rows = el_rows[jnp.maximum(tri_eid, 0)]
             ctx.update(build_mem_ctx(
                 membranes, el_rows, tri_rows, base, seg_m,
-                plo_l, phi_l, own_liq, tables, cnt_new, ob))
+                plo_l, phi_l, own_liq, base6, cnt_new, ob))
         return new, ctx, ovf_win, ovf_mig
 
     def entry_sort_distributed(state_l):
@@ -1103,11 +1150,9 @@ def make_halo_fast_multi_step(
             drf = jnp.maximum(drf, d2)
         return state, {"halo_overflow": ovf, "window_drift": drf}
 
-    def stepper_distributed(state_l, springs, membranes):
-        """As ``stepper`` but with the O(cells) distributed resort between
-        sweeps: the replicated entry sort / exit unsort are the only O(N)
-        collectives, paid once per jitted call. diag additionally carries
-        ``resort_overflow`` (migration misses — dropped particles)."""
+    def build_statics(state_l, membranes):
+        """Replicated original-order static tables (gathered once per
+        jitted call — or once per SESSION under make_halo_session)."""
         nrm = vec3.split(state_l.normal)
         pos0 = vec3.split(state_l.pos)
         ptype_g = jax.lax.all_gather(state_l.ptype, ax, tiled=True)
@@ -1133,49 +1178,28 @@ def make_halo_fast_multi_step(
                 (membranes.particle_tris[e0:e1] >= 0).any(
                     axis=1).astype(jnp.float32))
         statics["has_mem"] = hm
+        return statics
 
-        rows = entry_sort_distributed(state_l)
-        act = state_l.muscle_activation
-        step_no = state_l.step
+    def sweep_d(rows, act, step_no, springs, membranes, statics,
+                r_steps):
+        rows2, ctx, o_win, o_mig = resort_distributed(
+            rows, springs, membranes, statics)
+        carry0 = (rows2["x"], rows2["y"], rows2["z"],
+                  rows2["vx"], rows2["vy"], rows2["vz"],
+                  act, step_no, jnp.zeros((), jnp.float32))
+        carry, _ = jax.lax.scan(
+            lambda c, x: (inner_body(ctx, c), None), carry0, None,
+            length=r_steps,
+        )
+        xn, yn, zn, vxn, vyn, vzn, act2, s2, drift = carry
+        drift = jax.lax.pmax(drift, ax)
+        rows3 = dict(x=xn, y=yn, z=zn, vx=vxn, vy=vyn, vz=vzn,
+                     oid=rows2["oid"])
+        return rows3, act2, s2, o_win, o_mig, drift
 
-        def sweep_d(rows, act, step_no, r_steps):
-            rows2, ctx, o_win, o_mig = resort_distributed(
-                rows, springs, membranes, statics)
-            carry0 = (rows2["x"], rows2["y"], rows2["z"],
-                      rows2["vx"], rows2["vy"], rows2["vz"],
-                      act, step_no, jnp.zeros((), jnp.float32))
-            carry, _ = jax.lax.scan(
-                lambda c, x: (inner_body(ctx, c), None), carry0, None,
-                length=r_steps,
-            )
-            xn, yn, zn, vxn, vyn, vzn, act2, s2, drift = carry
-            drift = jax.lax.pmax(drift, ax)
-            rows3 = dict(x=xn, y=yn, z=zn, vx=vxn, vy=vyn, vz=vzn,
-                         oid=rows2["oid"])
-            return rows3, act2, s2, o_win, o_mig, drift
-
-        ovf = jnp.zeros((), jnp.int32)
-        mig = jnp.zeros((), jnp.int32)
-        drf = jnp.zeros((), jnp.float32)
-        if full:
-            def body(c, _):
-                rows, act, s, o, m, d = c
-                rows2, act2, s2, o2, m2, d2 = sweep_d(
-                    rows, act, s, r_every)
-                return (rows2, act2, s2, jnp.maximum(o, o2),
-                        jnp.maximum(m, m2), jnp.maximum(d, d2)), None
-
-            (rows, act, step_no, ovf, mig, drf), _ = jax.lax.scan(
-                body, (rows, act, step_no, ovf, mig, drf), None,
-                length=full)
-        if rem:
-            rows, act, step_no, o2, m2, d2 = sweep_d(
-                rows, act, step_no, rem)
-            ovf = jnp.maximum(ovf, o2)
-            mig = jnp.maximum(mig, m2)
-            drf = jnp.maximum(drf, d2)
-
-        # exit: materialize original order (the other O(N) boundary)
+    def exit_unsort(rows, act, step_no, state_l):
+        """Materialize original order from sorted rows (the O(N) exit
+        boundary — once per jitted call, or once per session)."""
         def agp(a):
             return jax.lax.all_gather(a, ax, tiled=True)
 
@@ -1193,10 +1217,43 @@ def make_halo_fast_multi_step(
         vel_new = jnp.stack(
             [unsort(rows["vx"]), unsort(rows["vy"]),
              unsort(rows["vz"])], 1)
-        new_state = FluidState(
+        return FluidState(
             pos=pos_new, vel=vel_new, ptype=state_l.ptype,
             normal=state_l.normal, muscle_activation=act, step=step_no,
         )
+
+    def stepper_distributed(state_l, springs, membranes):
+        """As ``stepper`` but with the O(cells) distributed resort between
+        sweeps: the replicated entry sort / exit unsort are the only O(N)
+        collectives, paid once per jitted call. diag additionally carries
+        ``resort_overflow`` (migration misses — dropped particles)."""
+        statics = build_statics(state_l, membranes)
+        rows = entry_sort_distributed(state_l)
+        act = state_l.muscle_activation
+        step_no = state_l.step
+
+        ovf = jnp.zeros((), jnp.int32)
+        mig = jnp.zeros((), jnp.int32)
+        drf = jnp.zeros((), jnp.float32)
+        if full:
+            def body(c, _):
+                rows, act, s, o, m, d = c
+                rows2, act2, s2, o2, m2, d2 = sweep_d(
+                    rows, act, s, springs, membranes, statics, r_every)
+                return (rows2, act2, s2, jnp.maximum(o, o2),
+                        jnp.maximum(m, m2), jnp.maximum(d, d2)), None
+
+            (rows, act, step_no, ovf, mig, drf), _ = jax.lax.scan(
+                body, (rows, act, step_no, ovf, mig, drf), None,
+                length=full)
+        if rem:
+            rows, act, step_no, o2, m2, d2 = sweep_d(
+                rows, act, step_no, springs, membranes, statics, rem)
+            ovf = jnp.maximum(ovf, o2)
+            mig = jnp.maximum(mig, m2)
+            drf = jnp.maximum(drf, d2)
+
+        new_state = exit_unsort(rows, act, step_no, state_l)
         return new_state, {"halo_overflow": ovf, "window_drift": drf,
                            "resort_overflow": mig}
 
@@ -1206,6 +1263,57 @@ def make_halo_fast_multi_step(
     )
     springs_specs = Springs(row_ids=P(), idx=P(), rest=P(), muscle=P())
     membranes_specs = Membranes(tris=P(), particle_tris=P())
+
+    if _session:
+        # (make_halo_session): three small jitted functions; the session
+        # pytree keeps state in SORTED space across calls, so the O(N)
+        # entry/exit gathers happen once per session, not per chunk
+        assert distributed_resort
+
+        def begin_local(state_l, membranes):
+            return dict(
+                rows=entry_sort_distributed(state_l),
+                statics=build_statics(state_l, membranes),
+                act=state_l.muscle_activation, step=state_l.step,
+            )
+
+        def step_local(sess, springs, membranes):
+            rows, act, s2, o_win, o_mig, drift = sweep_d(
+                sess["rows"], sess["act"], sess["step"], springs,
+                membranes, sess["statics"], r_every)
+            out = dict(rows=rows, statics=sess["statics"], act=act,
+                       step=s2)
+            return out, {"halo_overflow": o_win, "window_drift": drift,
+                         "resort_overflow": o_mig}
+
+        def finish_local(sess, state_l):
+            return exit_unsort(sess["rows"], sess["act"], sess["step"],
+                               state_l)
+
+        rows_specs = {k: P(ax) for k in
+                      ("x", "y", "z", "vx", "vy", "vz", "oid")}
+        statics_specs = {k: P() for k in
+                         ("is_b", "is_liq", "nrm_x", "nrm_y", "nrm_z",
+                          "pos_x", "pos_y", "pos_z", "eid_of_orig",
+                          "has_mem")}
+        sess_specs = dict(rows=rows_specs, statics=statics_specs,
+                          act=P(), step=P())
+        diag3 = {"halo_overflow": P(), "window_drift": P(),
+                 "resort_overflow": P()}
+        begin = jax.jit(shard_map(
+            begin_local, mesh=mesh,
+            in_specs=(state_specs, membranes_specs),
+            out_specs=sess_specs, check_vma=False))
+        step = jax.jit(shard_map(
+            step_local, mesh=mesh,
+            in_specs=(sess_specs, springs_specs, membranes_specs),
+            out_specs=(sess_specs, diag3), check_vma=False))
+        finish = jax.jit(shard_map(
+            finish_local, mesh=mesh,
+            in_specs=(sess_specs, state_specs),
+            out_specs=state_specs, check_vma=False))
+        return begin, step, finish
+
     diag_specs = {"halo_overflow": P(), "window_drift": P()}
     if distributed_resort:
         diag_specs["resort_overflow"] = P()
@@ -1217,3 +1325,29 @@ def make_halo_fast_multi_step(
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def make_halo_session(
+    mesh: Mesh,
+    params: SimParams,
+    layout: SceneLayout,
+    cfg: F.FastConfig,
+    halo_pad: int | None = None,
+):
+    """Stateful sorted-space stepping over the distributed resort:
+
+        begin(state, membranes) -> session       # one O(N) entry sort
+        step(session, springs, membranes) -> (session, diag)
+        finish(session, state) -> state          # one O(N) exit unsort
+
+    Each ``step`` call advances ``cfg.resort_every`` steps (one
+    distributed resort + one sorted-space scan) with NO O(N) collective
+    — the session pytree keeps particle state sharded in sorted space
+    between calls, so chunked stepping (the Simulator's pattern) pays
+    the entry/exit gathers once per session instead of once per chunk.
+    diag carries halo_overflow / window_drift / resort_overflow for the
+    span of that call."""
+    return make_halo_fast_multi_step(
+        mesh, params, layout, cfg, n_steps=cfg.resort_every,
+        halo_pad=halo_pad, distributed_resort=True, _session=True,
+    )

@@ -42,6 +42,7 @@ class Simulator:
         engine: str = "exact",
         adaptive_resort: bool = False,
         drift_threshold_h: float = 0.25,
+        distributed_resort: bool = False,
     ):
         """engine: "exact" = neighbor-list engine (reference 32-cap
         semantics); "fast" = blocked Pallas pair engine (all pairs within h,
@@ -58,7 +59,11 @@ class Simulator:
         and halves the resort period while it exceeds the threshold,
         doubling it back (with hysteresis) when dynamics calm down.
         Costs one host sync per chunk; the period moves between
-        resort_every, /2 and /4 (at most 3 compiled graphs)."""
+        resort_every, /2 and /4 (at most 3 compiled graphs).
+
+        distributed_resort (halo engine): use the O(cells) distributed
+        resort instead of the replicated all-gather one (parallel/halo.py
+        round 4); surfaces ``resort_overflow`` through check_overflow."""
         self.params = params or SimParams()
         if engine == "auto":
             dev = jax.devices()[0]
@@ -95,6 +100,7 @@ class Simulator:
 
             self.state = shard_state(self.state, self._mesh)
             self._fast_chunk = max(1, self._fast_cfg.resort_every)
+            self._distributed_resort = distributed_resort
         elif engine == "fast":
             from ..core.fast import compute_fast_config
 
@@ -159,6 +165,7 @@ class Simulator:
                 halo_run = make_halo_fast_multi_step(
                     self._mesh, self.params, self.layout, self._fast_cfg, n,
                     halo_pad=pad,
+                    distributed_resort=self._distributed_resort,
                 )
 
                 def run(state, springs, membranes, _h=halo_run):
@@ -171,6 +178,12 @@ class Simulator:
                         jax.numpy.asarray(diag["halo_overflow"]),
                         jax.numpy.asarray(prev),
                     )
+                    if "resort_overflow" in diag:
+                        prev_r = getattr(self, "_resort_overflow", 0)
+                        self._resort_overflow = jax.numpy.maximum(
+                            jax.numpy.asarray(diag["resort_overflow"]),
+                            jax.numpy.asarray(prev_r),
+                        )
                     self._track_drift(diag["window_drift"])
                     return out
 
@@ -290,6 +303,11 @@ class Simulator:
                 getattr(self, "_halo_overflow", 0)
             )
             self._halo_overflow = 0
+            if self._distributed_resort:
+                out["resort_overflow"] = int(
+                    getattr(self, "_resort_overflow", 0)
+                )
+                self._resort_overflow = 0
         bad = {k: v for k, v in out.items() if v > 0}
         if bad:
             logger.warning(

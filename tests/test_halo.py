@@ -27,12 +27,13 @@ def n_dev():
 
 
 def _run_both(scene, params, n_dev, steps, halo_pad, block=256,
-              resort_every=10):
+              resort_every=10, sub=None):
     scene = pad_scene_to_devices(scene, n_dev * block)
     state, springs, membranes = scene.device_state()
     layout = scene.layout()
     cfg = compute_fast_config(
-        scene.pos, params, block=block, resort_every=resort_every
+        scene.pos, params, block=block, resort_every=resort_every,
+        sub=sub,
     )
 
     ref = make_fast_multi_step(params, layout, cfg, steps)(
@@ -50,11 +51,12 @@ def _run_both(scene, params, n_dev, steps, halo_pad, block=256,
 
 def test_halo_matches_fast_box(n_dev):
     # z-elongated box: slabs are meaningful (a z cell-row holds ~190
-    # particles, well under the 512-row halo band)
+    # particles, well under the 512-row halo band); sub=32 covers the
+    # subgroup-gated halo path (gate windows remapped to slab coords)
     params = SimParams(x_max=6 * H, y_max=6 * H, z_max=60 * H)
     scene = generate_liquid_box_scene(params, fill_fraction=0.5)
     ref, out, overflow = _run_both(
-        scene, params, n_dev, steps=5, halo_pad=512, block=128
+        scene, params, n_dev, steps=5, halo_pad=512, block=128, sub=32
     )
     assert overflow == 0, "halo band too small for the box scene"
     np.testing.assert_allclose(
@@ -99,6 +101,22 @@ def test_simulator_halo_engine(n_dev):
     assert out["halo_overflow"] == 0
 
 
+def test_simulator_halo_distributed(n_dev):
+    """Simulator(engine='halo', distributed_resort=True) steps and
+    surfaces the resort_overflow diagnostic."""
+    from sph_tpu.runtime import Simulator
+
+    params = SimParams(x_max=6 * H, y_max=6 * H, z_max=60 * H)
+    scene = generate_liquid_box_scene(params, fill_fraction=0.5)
+    sim = Simulator(scene, params, engine="halo", distributed_resort=True)
+    sim.step(2)
+    assert sim.step_count == 2
+    assert np.isfinite(sim.get_position()).all()
+    out = sim.check_overflow()
+    assert out["halo_overflow"] == 0
+    assert out["resort_overflow"] == 0
+
+
 def test_distributed_resort_matches_replicated(n_dev):
     """The O(cells) distributed resort (histogram ranks + neighbor-only
     migration, halo.py round 4) vs the replicated all-gather resort,
@@ -112,7 +130,7 @@ def test_distributed_resort_matches_replicated(n_dev):
     state, springs, membranes = scene.device_state()
     layout = scene.layout()
     cfg = compute_fast_config(
-        scene.pos, params, block=block, resort_every=3
+        scene.pos, params, block=block, resort_every=3, sub=32
     )
     mesh = make_mesh(n_dev)
     outs = {}
@@ -155,6 +173,45 @@ def test_distributed_resort_worm(n_dev):
         state, springs, membranes)
     err = float(np.abs(np.asarray(out.pos) - np.asarray(ref.pos)).max())
     assert err <= 5e-5, err
+
+
+def test_halo_session_matches_multi_step(n_dev):
+    """The session API (begin -> k x step -> finish) must reproduce the
+    one-call distributed runner exactly: same sweeps, same arithmetic,
+    only the jit boundaries differ."""
+    from sph_tpu.parallel import make_halo_session
+
+    params = SimParams(x_max=6 * H, y_max=6 * H, z_max=60 * H)
+    scene = generate_liquid_box_scene(params, fill_fraction=0.5)
+    block = 128
+    scene = pad_scene_to_devices(scene, n_dev * block)
+    state, springs, membranes = scene.device_state()
+    layout = scene.layout()
+    cfg = compute_fast_config(
+        scene.pos, params, block=block, resort_every=3, sub=32
+    )
+    mesh = make_mesh(n_dev)
+    state_s = shard_state(state, mesh)
+
+    run = make_halo_fast_multi_step(
+        mesh, params, layout, cfg, n_steps=6, halo_pad=512,
+        distributed_resort=True,
+    )
+    ref, _ = run(state_s, springs, membranes)
+
+    begin, step, finish = make_halo_session(
+        mesh, params, layout, cfg, halo_pad=512)
+    sess = begin(state_s, membranes)
+    for _ in range(2):  # 2 x resort_every = 6 steps
+        sess, diag = step(sess, springs, membranes)
+        assert int(diag["halo_overflow"]) == 0
+        assert int(diag["resort_overflow"]) == 0
+    out = finish(sess, state_s)
+    assert int(out.step) == 6
+    np.testing.assert_array_equal(np.asarray(out.pos),
+                                  np.asarray(ref.pos))
+    np.testing.assert_array_equal(np.asarray(out.vel),
+                                  np.asarray(ref.vel))
 
 
 def test_measure_halo_pad():
