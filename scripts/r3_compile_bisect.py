@@ -1,5 +1,7 @@
 """Bisect the standalone-sort compile pathology (round 2 left it unhunted).
 
+STATUS: closed exploration (r3). Conclusion: flat scans of the step compile super-linearly in trip count; encoded as the nested-scan workaround in core/fast.py::make_fast_multi_step. Keep for re-bisection if compile times regress.
+
 Compiles pieces of the fast engine's sort/unsort machinery standalone and
 prints wall-clock compile times. Run one piece per invocation:
 

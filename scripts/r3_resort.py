@@ -1,5 +1,7 @@
 """Round-3: re-measure resort-period options cleanly (nothing else running).
 
+STATUS: closed exploration (r3). Conclusion: resort_every=30 via chunked nested scans; numbers in BASELINE.md r3 table. Superseded operationally by Simulator(adaptive_resort=True) (r4).
+
 1. make_fast_multi_step with resort_every=R, n_steps=R for R in args
    (tests the 'scan length super-linear compile' claim with a quiet host);
 2. make_fast_stepper's three graphs (the standalone-sort pathology).

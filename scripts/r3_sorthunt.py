@@ -1,4 +1,6 @@
 """Pin down where the stepper-sort 445s goes: compile or first execution,
+
+STATUS: closed exploration (r3). Conclusion: the 445 s stepper-sort cost was compile, not execution; folded into the nested-scan note in core/fast.py.
 sort_ctx alone or +carry_of.
 
 Run: python scripts/r3_sorthunt.py

@@ -1,4 +1,6 @@
 """Round-3 pruning design analysis: computed candidate columns/particle for
+
+STATUS: live instrument. Measures computed candidate columns/particle per layout variant; produced the 1,617 -> 819 (sub=32) numbers behind the r4 subgroup gating (BASELINE.md r4).
 per-own-subgroup windows with tile-granularity skipping, on the real worm
 scene — sizes the win before kernel work.
 

@@ -1,5 +1,7 @@
 """In-step ablation: marginal cost of each stage of the fast inner step.
 
+STATUS: live instrument. Marginal cost per step stage; produced the r3 ablation row (BASELINE.md).
+
 Patches _make_step_parts' params/stage wiring via SimParams and context
 surgery to time step variants with stages removed; marginal = full - ablated.
 """

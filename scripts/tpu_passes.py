@@ -1,4 +1,7 @@
-"""Per-pass timing of the fast engine's Pallas pair passes on the TPU."""
+"""Per-pass timing of the fast engine's Pallas pair passes on the TPU.
+
+STATUS: live instrument. Per-pass Pallas timings on the real chip (BASELINE.md r2/r3 breakdowns).
+"""
 import os
 os.environ["JAX_PLATFORMS"] = ""
 import sys

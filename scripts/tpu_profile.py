@@ -1,5 +1,7 @@
 """TPU component profile: time the fast step's pieces in isolation.
 
+STATUS: live instrument. Step-component timing on the real chip; produced the r3 in-step ablation (BASELINE.md).
+
 Run: python scripts/tpu_profile.py [block ccol]
 """
 import sys

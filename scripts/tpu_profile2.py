@@ -1,4 +1,7 @@
-"""Component timing of the sorted-space fast step on the real TPU."""
+"""Component timing of the sorted-space fast step on the real TPU.
+
+STATUS: closed exploration (r3 variant of tpu_profile.py with sorted-space isolation); results folded into BASELINE.md r3 ablation.
+"""
 import os
 os.environ["JAX_PLATFORMS"] = ""
 import sys

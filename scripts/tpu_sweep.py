@@ -1,5 +1,7 @@
 """TPU micro-bench: sweep fast-engine (block, ccol) on the worm scene.
 
+STATUS: live instrument. (block, ccol) sweep on the worm; last recorded r2 (BASELINE.md).
+
 Run: python scripts/tpu_sweep.py [block ccol [steps]]
 """
 import sys

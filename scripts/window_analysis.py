@@ -1,4 +1,6 @@
 """Offline analysis: padded pair-candidates per particle for slab-window
+
+STATUS: closed exploration (r2). Padded-candidate counts for the original slab-window design; superseded by r3_window_analysis.py (maskless tiles).
 design variants of the fast engine, measured on the real worm scene.
 
 Run: python scripts/window_analysis.py
