@@ -210,14 +210,16 @@ def gate_worm_integrity(scene, params, state):
     return ok
 
 
-def run_engine(engine, scene, params, chunk, budget_s, sub=None):
+def run_engine(engine, scene, params, chunk, budget_s, sub=None,
+               block=256, ccol=256):
     from sph_tpu.core.step import multi_step
     from sph_tpu.core.fast import compute_fast_config, make_fast_multi_step
 
     state, springs, membranes = scene.device_state()
     layout = scene.layout()
     if engine == "fast":
-        cfg = compute_fast_config(scene.pos, params, sub=sub)
+        cfg = compute_fast_config(scene.pos, params, sub=sub,
+                                  block=block, ccol=ccol)
         run = make_fast_multi_step(params, layout, cfg, chunk)
 
         def advance(s):
@@ -299,13 +301,31 @@ def main() -> int:
         sub_env = os.environ.get("SPH_BENCH_SUB", "32")
         sub = int(sub_env) if sub_env.isdigit() and int(sub_env) > 0 \
             else None
+        block, ccol = 256, 256
+        # on-chip tuned config from scripts/sub_sweep.py, if recorded
+        # (SPH_BENCH_TUNED=0 ignores it; env SPH_BENCH_SUB still wins)
+        tuned_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "results", "r4", "best_config.json")
+        if os.environ.get("SPH_BENCH_TUNED", "1") == "1" \
+                and os.path.exists(tuned_path):
+            try:
+                tuned = json.load(open(tuned_path))
+                block = int(tuned.get("block", block))
+                ccol = int(tuned.get("ccol", ccol))
+                if "SPH_BENCH_SUB" not in os.environ:
+                    sub = tuned.get("sub", sub)
+                    sub = int(sub) if sub else None
+                log(f"# tuned config: block={block} ccol={ccol} sub={sub}")
+            except Exception:
+                log("# ignoring unreadable best_config.json")
         engine = "fast"
         try:
             # chunk 30 = one full resort period per call (resort_every
             # default 30; the nested-scan graph compiles like the 10-step
             # one) — the resort machinery amortizes 3x further than chunk 10
             steps, wall, compile_s, end_state = run_engine(
-                "fast", scene, params, 30, 90.0, sub=sub)
+                "fast", scene, params, 30, 90.0, sub=sub,
+                block=block, ccol=ccol)
         except Exception as e:
             traceback.print_exc(file=sys.stderr)
             if _is_backend_death(e):

@@ -6,12 +6,14 @@ runs the queued campaigns in priority order, logging everything under
 results/r4/ and committing results after each stage so nothing is lost
 if the tunnel (or the session) dies again:
 
-  1. bench.py                       — the headline metric (gated engine)
-  2. cap_study.py --cached 10       — no-32-cap deviation table (r2 #7)
-  3. locomotion.py 63k --assert-... — full undulation cycle (r2 #6)
-  4. bench_scale.py 2 0.8           — 2-worm + ~1M dam-break (r3 #3)
-  5. resort_ab.py 20k --record      — stale-window physics A/B (r3 #4)
-  6. tpu_passes.py                  — per-pass gated-kernel timings
+  1. sub_sweep.py                   — tune (block, ccol, sub) on-chip;
+                                      writes best_config.json for bench
+  2. bench.py                       — the headline metric (gated engine)
+  3. cap_study.py --cached 10       — no-32-cap deviation table (r2 #7)
+  4. locomotion.py 63k --assert-... — full undulation cycle (r2 #6)
+  5. bench_scale.py 2 0.8           — 2-worm + ~1M dam-break (r3 #3)
+  6. resort_ab.py 20k --record      — stale-window physics A/B (r3 #4)
+  7. tpu_passes.py                  — per-pass gated-kernel timings
 
 Run:  nohup python scripts/chip_campaign.py > /tmp/campaign.log 2>&1 &
 Probes every 5 min; exits when the queue drains or the deadline passes.
@@ -38,6 +40,7 @@ PROBE = (
 
 # (name, argv, timeout_s)
 QUEUE = [
+    ("sub_sweep", [PY, "scripts/sub_sweep.py"], 2400),
     ("bench", [PY, "bench.py"], 2400),
     ("cap_study", [PY, "scripts/cap_study.py", "--record", "--cached", "10"],
      2400),

@@ -105,9 +105,57 @@ def current_scheme(pos, params, *, B, ccol, cell):
                             name="current (S=B)")
 
 
+def compact_cell_tiles(pos, params, cell, name=""):
+    """VERDICT r3 #1(a): cell-capacity compact tiles, MEASURED (the r3
+    dismissal was an estimate). Pad every occupied ``cell``-sized grid
+    cell to the scene capacity K; a tile = one cell's K rows; its
+    candidate window = the 27 neighboring cells x K columns. Reports the
+    real K, the padding factor (padded rows / real particles), and the
+    resulting computed candidates/particle for (i) per-tile 27-cell
+    windows and (ii) the per-particle 8-cell gather bound (the
+    reference's own scheme, sphFluid.cl:266-271 — NOT expressible at
+    tile granularity, shown as the gather lower bound)."""
+    lo = np.asarray(params.box_min)
+    nx = int((params.x_max - params.x_min) / cell) + 1
+    ny = int((params.y_max - params.y_min) / cell) + 1
+    nz = int((params.z_max - params.z_min) / cell) + 1
+    c = np.clip(((pos - lo) / cell).astype(np.int64), 0,
+                [nx - 1, ny - 1, nz - 1])
+    cid = (c[:, 2] * ny + c[:, 1]) * nx + c[:, 0]
+    occ = np.bincount(cid, minlength=nx * ny * nz)
+    occupied = occ > 0
+    K = int(occ.max())
+    mean_occ = float(occ[occupied].mean())
+    pad = K / mean_occ
+    # window = (2*reach+1)^3 cells where reach = ceil(support/cell)
+    # (27 for cell >= h, 125 for h/2, ...); K-padded: every real
+    # particle computes against win*K candidate columns; padded rows
+    # also burn VPU lanes -> effective candidates per REAL particle =
+    # win*K * (K/mean_occ).
+    reach = int(np.ceil(params.h / cell))
+    win = (2 * reach + 1) ** 3
+    cand_tile = win * K * pad
+    # per-particle window bound: a length-2h interval touches at most
+    # int(2h/cell)+1 cells per axis when the particle position is known
+    # (= the reference's 8-cell corner trick at cell=2h,
+    # sphFluid.cl:266-271); needs per-particle gather, not tiles.
+    ga = int(2 * params.h / cell) + 1
+    cand_gather = ga ** 3 * K
+    # occupancy histogram tail: K driven by how many cells?
+    q = np.quantile(occ[occupied], [0.5, 0.9, 0.99, 1.0])
+    print(f"{name:34s} cell={cell:5.2f}: K={K:4d} mean_occ={mean_occ:6.1f} "
+          f"pad={pad:4.1f}x  occ q50/90/99/max={q.astype(int).tolist()}  "
+          f"computed/particle tile{win}={cand_tile:7.0f} "
+          f"gather{ga}^3={cand_gather:6.0f}", flush=True)
+    return cand_tile
+
+
 def main():
     params, pos = build_scene()
     h = params.h
+    compact_cell_tiles(pos, params, cell=2 * h, name="compact cells (2h)")
+    compact_cell_tiles(pos, params, cell=h, name="compact cells (h)")
+    compact_cell_tiles(pos, params, cell=h / 2, name="compact cells (h/2)")
     current_scheme(pos, params, B=256, ccol=256, cell=h)
     for B, S, ccol in [(256, 128, 256), (256, 64, 256), (256, 32, 256),
                        (256, 64, 128), (256, 32, 128), (256, 16, 128),

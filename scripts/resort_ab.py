@@ -68,6 +68,9 @@ def main():
     ap.add_argument("--chunk", type=int, default=30)
     ap.add_argument("--report-every", type=int, default=600)
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--box", action="store_true",
+                    help="tiny liquid-box smoke scene instead of the worm "
+                    "(CPU-checkable; gait columns read as liquid sloshing)")
     ap.add_argument("--arms", default="1,30",
                     help="comma-separated resort_every values")
     ap.add_argument("--record", action="store_true")
@@ -76,21 +79,26 @@ def main():
     args = ap.parse_args()
 
     from sph_tpu.config import SimParams
-    from sph_tpu.scene import generate_worm_scene
+    from sph_tpu.scene import generate_liquid_box_scene, generate_worm_scene
     from sph_tpu.core.fast import compute_fast_config, make_fast_multi_step
-    from sph_tpu.constants import ELASTIC_PARTICLE
+    from sph_tpu.constants import ELASTIC_PARTICLE, LIQUID_PARTICLE
 
     H = 3.34
-    if args.small:
+    if args.box:
+        params = SimParams(x_max=8 * H, y_max=8 * H, z_max=8 * H)
+    elif args.small:
         params = SimParams(x_max=14 * H, y_max=12 * H, z_max=108 * H)
     else:
         params = SimParams()
     t0 = time.time()
-    scene = generate_worm_scene(params)
+    scene = (generate_liquid_box_scene(params, fill_fraction=0.5)
+             if args.box else generate_worm_scene(params))
     print(f"scene: {scene.n_particles} particles {scene.counts} "
           f"({time.time()-t0:.1f}s)", flush=True)
 
     el = np.asarray(scene.ptype) == ELASTIC_PARTICLE
+    if not el.any():  # box smoke: track the liquid body instead
+        el = np.asarray(scene.ptype) == LIQUID_PARTICLE
     z0, z1 = scene.pos[el][:, 2].min(), scene.pos[el][:, 2].max()
     z_edges = np.linspace(z0 - 1e-3, z1 + 1e-3, 25)  # 24 muscle-row bins
     rest = np.asarray(scene.spring_rest)
@@ -100,6 +108,8 @@ def main():
     scale = params.simulation_scale
 
     def strain(pos):
+        if not len(rows):
+            return 0.0
         d = pos[rows][:, None, :] - pos[np.maximum(sidx, 0)]
         r = np.linalg.norm(d, axis=2) * scale
         s = np.abs(np.where(valid & (rest > 0), r / np.maximum(rest, 1e-30),
@@ -111,7 +121,12 @@ def main():
         state, springs, membranes = scene.device_state()
         layout = scene.layout()
         cfg = compute_fast_config(scene.pos, params, resort_every=r_every)
-        run = make_fast_multi_step(params, layout, cfg, args.chunk)
+        # the multi-step graph resorts at each sweep entry, so the call
+        # length must be a multiple of r_every or the arm's actual
+        # resort period silently becomes the chunk length
+        chunk = (-(-args.chunk // r_every) * r_every
+                 if r_every < args.chunk else r_every)
+        run = make_fast_multi_step(params, layout, cfg, chunk)
         p0 = np.asarray(state.pos)
         com0 = p0[el].mean(axis=0)
         rho_sh0 = (float("nan") if args.skip_density
@@ -121,9 +136,9 @@ def main():
         t0 = time.time()
         done = 0
         while done < args.steps:
-            for _ in range(max(1, args.report_every // args.chunk)):
+            for _ in range(max(1, args.report_every // chunk)):
                 state = run(state, springs, membranes)
-                done += args.chunk
+                done += chunk
             pos = np.asarray(state.pos)
             assert np.isfinite(pos).all(), "non-finite state"
             rec["steps"].append(done)
@@ -144,19 +159,21 @@ def main():
     # --- comparison ---------------------------------------------------
     keys = sorted(arms)
     ref = arms[keys[0]]
-    lines = [f"\n### Resort A/B ({args.steps} steps, "
-             f"{'small' if args.small else 'full'} worm, "
+    scene_name = ("liquid box" if args.box
+                  else ("small worm" if args.small else "full worm"))
+    lines = [f"\n### Resort A/B ({args.steps} steps, {scene_name}, "
              f"{scene.n_particles} particles) — VERDICT r3 #4\n",
-             "| resort_every | ms/step | COM-z displ | max strain (end) | "
+             "| resort_every | steps | ms/step | COM-z displ | "
+             "max strain (end) | "
              "gait amp x/y (end) | shell rho start->end |",
-             "|---|---|---|---|---|---|"]
+             "|---|---|---|---|---|---|---|"]
     for k in keys:
         a = arms[k]
         dz = a["com_z"][-1] - a["com0"][2]
         mid = a["mid"][-1]
         amp = mid - mid.mean(axis=0)
         lines.append(
-            f"| {k} | {a['ms_per_step']:.1f} | {dz:+.4f} | "
+            f"| {k} | {a['steps'][-1]} | {a['ms_per_step']:.1f} | {dz:+.4f} | "
             f"{a['strain'][-1]:.3f} | "
             f"{np.sqrt((amp[:,0]**2).mean()):.3f}/"
             f"{np.sqrt((amp[:,1]**2).mean()):.3f} | "

@@ -133,17 +133,18 @@ def test_fast_subgroup_gated_matches_ungated():
     state, springs, membranes = scene.device_state()
     layout = scene.layout()
     outs = {}
-    for sub in (None, 32):
+    for sub in (None, 8, 16, 32):  # all scripts/sub_sweep.py gate sizes
         cfg = compute_fast_config(scene.pos, params, block=128, ccol=128,
                                   interpret=True, sub=sub)
         outs[sub] = make_fast_multi_step(params, layout, cfg, 3)(
             state, springs, membranes)
-    np.testing.assert_allclose(np.asarray(outs[32].pos),
-                               np.asarray(outs[None].pos),
-                               rtol=0, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(outs[32].vel),
-                               np.asarray(outs[None].vel),
-                               rtol=0, atol=1e-5)
+    for sub in (8, 16, 32):
+        np.testing.assert_allclose(np.asarray(outs[sub].pos),
+                                   np.asarray(outs[None].pos),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(outs[sub].vel),
+                                   np.asarray(outs[None].vel),
+                                   rtol=0, atol=1e-5)
     ref = multi_step(state, springs, membranes, params, layout, 3)
     np.testing.assert_allclose(np.asarray(outs[32].pos),
                                np.asarray(ref.pos), rtol=0, atol=5e-5)
