@@ -96,13 +96,15 @@ def cmd_run(args) -> int:
 
 
 def cmd_replay(args) -> int:
-    from .viz import render_trajectory
+    from .viz import frames_to_gif, render_trajectory
 
     paths = render_trajectory(
         f"{args.buffers}/position_buffer.txt", args.render,
         every=args.every,
     )
     print(f"rendered {len(paths)} frames -> {args.render}")
+    if args.gif:
+        print(f"gif -> {frames_to_gif(paths, args.gif, fps=args.fps)}")
     return 0
 
 
@@ -170,6 +172,11 @@ def main(argv=None) -> int:
     p.add_argument("--buffers", default="buffers")
     p.add_argument("--render", default="frames")
     p.add_argument("--every", type=int, default=1)
+    p.add_argument("--gif", default=None, metavar="PATH",
+                   help="also assemble the frames into an animated GIF "
+                   "(headless counterpart of the reference's video "
+                   "recording, README.md:89-119)")
+    p.add_argument("--fps", type=float, default=10.0)
     p.set_defaults(fn=cmd_replay)
 
     p = sub.add_parser("info", help="print scene statistics")

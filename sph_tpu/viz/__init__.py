@@ -1,3 +1,3 @@
-from .render import render_frame, render_trajectory
+from .render import frames_to_gif, render_frame, render_trajectory
 
-__all__ = ["render_frame", "render_trajectory"]
+__all__ = ["frames_to_gif", "render_frame", "render_trajectory"]

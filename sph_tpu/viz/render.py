@@ -207,3 +207,18 @@ def render_trajectory(
             title=f"frame {t}", **kw,
         ))
     return paths
+
+
+def frames_to_gif(paths, out_path: str, fps: float = 10.0) -> str:
+    """Assemble rendered PNG frames into an animated GIF (the headless
+    counterpart of the reference's screen-capture video workflow,
+    README.md:89-119; no ffmpeg in the image, PIL only)."""
+    from PIL import Image
+
+    if not paths:
+        raise ValueError("no frames to assemble")
+    ims = [Image.open(p).convert("P", palette=Image.ADAPTIVE)
+           for p in paths]
+    ims[0].save(out_path, save_all=True, append_images=ims[1:],
+                duration=int(1000 / fps), loop=0)
+    return out_path

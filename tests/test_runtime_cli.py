@@ -73,11 +73,14 @@ def test_cli_run_dump_replay(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "[[ step 6 ]]" in out
 
+    gif = tmp_path / "traj.gif"
     rc = cli_main([
         "replay", "--buffers", str(dump), "--render", str(frames),
+        "--gif", str(gif),
     ])
     assert rc == 0
     assert len(list(frames.glob("*.png"))) == 3  # steps 0, 3, 6
+    assert gif.stat().st_size > 0  # animated GIF assembled from frames
 
 
 def test_cli_info(capsys):
