@@ -161,8 +161,11 @@ def main():
     ref = arms[keys[0]]
     scene_name = ("liquid box" if args.box
                   else ("small worm" if args.small else "full worm"))
+    import jax
+    backend = jax.default_backend()
     lines = [f"\n### Resort A/B ({args.steps} steps, {scene_name}, "
-             f"{scene.n_particles} particles) — VERDICT r3 #4\n",
+             f"{scene.n_particles} particles, backend={backend}) "
+             f"— VERDICT r3 #4\n",
              "| resort_every | steps | ms/step | COM-z displ | "
              "max strain (end) | "
              "gait amp x/y (end) | shell rho start->end |",
