@@ -74,6 +74,10 @@ def probe_ok():
 def commit(stage):
     """Commit campaign outputs only (explicit paths; ignores the index)."""
     for attempt in range(5):
+        # `git commit -- <paths>` cannot commit untracked files: stage them
+        # first so fresh result files are "known to git".
+        subprocess.run(["git", "add", "--", "results/r4", "BASELINE.md"],
+                       capture_output=True, text=True, cwd=ROOT)
         r = subprocess.run(
             ["git", "commit", "-q",
              "-m", f"Chip campaign: record {stage} results\n\n"
