@@ -296,9 +296,10 @@ def main() -> int:
         build_s = time.time() - t0
         n = scene.n_particles
 
-        # subgroup-gated main passes (round 4: 1,617 -> 819 computed
-        # candidate columns/particle at sub=32); SPH_BENCH_SUB=0 disables
-        sub_env = os.environ.get("SPH_BENCH_SUB", "32")
+        # subgroup gating (SPH_BENCH_SUB=N enables): REFUTED on chip r4 —
+        # 93.7 ms/step at sub=32 vs 41.3 ungated (results/r4/sub_sweep) —
+        # so the default is ungated; the tuned config can still choose it
+        sub_env = os.environ.get("SPH_BENCH_SUB", "0")
         sub = int(sub_env) if sub_env.isdigit() and int(sub_env) > 0 \
             else None
         block, ccol = 256, 256
@@ -315,7 +316,11 @@ def main() -> int:
                 if "SPH_BENCH_SUB" not in os.environ:
                     sub = tuned.get("sub", sub)
                     sub = int(sub) if sub else None
-                log(f"# tuned config: block={block} ccol={ccol} sub={sub}")
+                if "depth" in tuned and "SPH_TPU_DMA_DEPTH" not in os.environ:
+                    # pair-pass DMA ring depth (read at pass-build time)
+                    os.environ["SPH_TPU_DMA_DEPTH"] = str(int(tuned["depth"]))
+                log(f"# tuned config: block={block} ccol={ccol} sub={sub} "
+                    f"depth={os.environ.get('SPH_TPU_DMA_DEPTH', '6')}")
             except Exception:
                 log("# ignoring unreadable best_config.json")
         engine = "fast"

@@ -40,19 +40,19 @@ PROBE = (
 
 # (name, argv, timeout_s)
 QUEUE = [
-    ("sub_sweep", [PY, "scripts/sub_sweep.py"], 2400),
-    ("bench", [PY, "bench.py"], 2400),
-    ("cap_study", [PY, "scripts/cap_study.py", "--record", "--cached", "10"],
-     2400),
-    ("locomotion_full_cycle",
-     [PY, "scripts/locomotion.py", "--steps", "63000", "--chunk", "30",
-      "--record", "--assert-propels", "--frames",
-      os.path.join(RES, "locomotion_frames")], 7200),
+    ("pipeline_sweep", [PY, "scripts/pipeline_sweep.py"], 2400),
+    ("bench2", [PY, "bench.py"], 2400),
+    ("tpu_passes", [PY, "scripts/tpu_passes.py"], 1800),
     ("bench_scale", [PY, "scripts/bench_scale.py", "2", "0.8"], 3600),
     ("resort_ab",
      [PY, "scripts/resort_ab.py", "--steps", "20000", "--record"], 5400),
-    ("tpu_passes", [PY, "scripts/tpu_passes.py"], 1800),
+    ("cap_study2", [PY, "scripts/cap_study.py", "--record", "--cached", "10"],
+     3600),
 ]
+
+# run in the first campaign sweep (2026-08-18 morning), kept out of the
+# live queue: sub_sweep, bench (5.59M recorded), cap_study (superseded by
+# cap_study2 after the membrane [R,cap,7] OOM fix), locomotion_full_cycle
 
 
 def log(msg):

@@ -203,6 +203,30 @@ def _window_tables(pencil_s, cfg: FastConfig):
     return tables, pstart, pencil_ranges, gtabs
 
 
+def tile_table_stats(pos, params, cfg: FastConfig):
+    """(max tiles/block, total tiles) the pair passes' flat tile ring
+    would see at the given positions — compared in
+    ``Simulator.check_overflow`` against the static per-block/total
+    capacities of :func:`ops.pair_kernels._flat_tile_tables` (tiles
+    beyond them would be silently dropped, so the overflow must surface
+    as a diagnostic). Reuses the real `_window_tables` so the numbers
+    can never drift from the engine's own accounting."""
+    from ..ops import vec3
+
+    p = vec3.split(jnp.asarray(pos))
+    nx, ny, nz = cfg.dims
+    cell = jnp.float32(1.0 / params.h)
+    bx, by, bz = (jnp.float32(b) for b in params.box_min)
+    cx = jnp.clip(((p.x - bx) * cell).astype(jnp.int32), 0, nx - 1)
+    cz = jnp.clip(((p.z - bz) * cell).astype(jnp.int32), 0, nz - 1)
+    cy = jnp.clip(((p.y - by) * cell).astype(jnp.int32), 0, ny - 1)
+    pencil = cx + nx * cz
+    cid = cy + ny * pencil
+    pencil_s = pencil[jnp.argsort(cid, stable=True)]
+    cnt = _window_tables(pencil_s, cfg)[0][4]
+    return int(cnt.max()), int(cnt.sum())
+
+
 def _tile_chunks(lo, hi, n_blocks, ccol):
     """Per-block chunk descriptors (aln, s0, cnt) from flattened [nb*3]
     lo/hi column ranges, deduplicated in tile space (each block's tiles

@@ -78,23 +78,32 @@ def _membrane_delta(
     # 3D particle-to-neighbor distance (see deviation note in module doc).
     dist_ij = (x_i.expand(1) - pos_g.take(j)).norm()  # [R,32]
 
-    # Triangles of each elastic neighbor: [R,32,7].
-    t = membranes.particle_tris[j]
-    t_ok = elastic_j[..., None] & (t >= 0)
-    t_safe = jnp.maximum(t, 0)
-    n_t = n_plane.take(t_safe)                   # V3 of [R,32,7]
-    a_t = ref_a.take(t_safe)
+    # Triangles of each elastic neighbor: a static loop over the 7
+    # membrane slots keeps every temp at [R, cap]. (A [R, cap, 7] batch
+    # pads its minor dim 7 to 128 lanes under TPU tiling — an 18.3x
+    # memory expansion that OOM'd the cap-sensitivity study at cap=64.)
+    cnt = jnp.zeros(j.shape, jnp.int32)           # [R,32]
+    n_avg_acc = None
+    for c in range(membranes.particle_tris.shape[1]):
+        t = membranes.particle_tris[j, c]         # [R,32]
+        t_ok = elastic_j & (t >= 0)
+        t_safe = jnp.maximum(t, 0)
+        n_t = n_plane.take(t_safe)                # V3 of [R,32]
+        a_t = ref_a.take(t_safe)
 
-    # Orient each plane normal toward the liquid particle (the reference's
-    # normalize(x_i - projection), cl:1477-1483).
-    s = (x_i.expand(1).expand(2) - a_t).dot(n_t)  # [R,32,7]
-    n_nonzero = n_t.norm2() > 0.0
-    contrib_ok = t_ok & (s != 0.0) & n_nonzero
-    sgn = jnp.where(contrib_ok, jnp.sign(s), 0.0)
+        # Orient each plane normal toward the liquid particle (the
+        # reference's normalize(x_i - projection), cl:1477-1483).
+        s = (x_i.expand(1) - a_t).dot(n_t)        # [R,32]
+        n_nonzero = n_t.norm2() > 0.0
+        contrib_ok = t_ok & (s != 0.0) & n_nonzero
+        sgn = jnp.where(contrib_ok, jnp.sign(s), 0.0)
 
-    cnt = jnp.sum(contrib_ok, axis=-1)            # [R,32]
+        cnt = cnt + contrib_ok
+        term = n_t * sgn
+        n_avg_acc = term if n_avg_acc is None else n_avg_acc + term
+
     inv_cnt = 1.0 / jnp.maximum(cnt, 1)
-    n_avg = (n_t * sgn).sum(axis=2) * inv_cnt     # V3 of [R,32]
+    n_avg = n_avg_acc * inv_cnt                   # V3 of [R,32]
 
     is_entry = cnt > 0                            # neighbor in >=1 membrane
     r0 = jnp.float32(params.r0)

@@ -71,6 +71,8 @@ physical difference is a boundary-shell correction. The neighbor-list engine
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -78,6 +80,48 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ALIGN = 128  # lane alignment of slab-tile DMA offsets
+
+def _depth() -> int:
+    """Slab-tile DMA ring depth (slots; depth-1 tiles in flight). 8-16 KB
+    tile DMAs cannot hide their issue latency behind ~0.4 us of tile
+    compute at depth 2; the r4 on-chip sweep measured the resulting
+    per-tile stalls at ~42% of step time. Read at pass-BUILD time so
+    on-chip sweeps can vary it between configs in one process."""
+    return max(2, int(os.environ.get("SPH_TPU_DMA_DEPTH", "6")))
+
+
+def _tile_cap(ccol: int) -> int:
+    """Average per-block capacity of the flat tile table (mean tiles/block
+    measured 8.73 at ccol=256 / 16.3 at ccol=128 on the worm — ~2.7x
+    headroom, scaled inversely with tile width)."""
+    return max(4, 6144 // ccol)
+
+
+def _flat_tile_tables(tables, ccol, n_blocks, cap):
+    """Legacy 6-tuple chunk tables -> (flat, gts, own_base) for the flat
+    tile ring. flat[t] = slab column offset of global tile t (128-aligned);
+    gts[b] = first global tile of block b (gts[n_blocks] = total tiles).
+    Pure vector ops (CSE'd across a step's passes). Tiles beyond the
+    static caps (per-block smax, total cap) would be silently dropped —
+    core.fast surfaces `tile_overflow` in the resort diagnostics so that
+    can never pass unnoticed."""
+    aln, lo, hi, s0, cnt, ob = tables
+    del lo, hi
+    smax = max(8, 16384 // ccol)
+    s = jnp.arange(smax, dtype=jnp.int32)[None, :]
+    b3 = jnp.arange(n_blocks, dtype=jnp.int32)[:, None] * 3
+    s0r = s0.reshape(n_blocks, 3)
+    c = b3 + ((s >= s0r[:, 1:2]).astype(jnp.int32)
+              + (s >= s0r[:, 2:3]).astype(jnp.int32))
+    off = aln[c] + (s - s0[c]) * ccol
+    gts = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt, dtype=jnp.int32)]
+    )
+    idx = jnp.where(s < cnt[:, None], gts[:-1, None] + s, cap)
+    flat = jnp.zeros(cap + 1, jnp.int32).at[idx.reshape(-1)].set(
+        off.reshape(-1), mode="drop"
+    )[:cap]
+    return flat, gts, ob
 
 # main pack columns (time-t fields)
 MAIN_COLS = 8
@@ -262,21 +306,31 @@ def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
     fixed overhead (own DMA wait + prologue + output) measured 1.69 ms
     per pass at one block per step — ~46% of the density pass.
 
-    Scalar-prefetch tables (from core.fast._window_tables): aln/lo/hi/s0
-    flattened [n_blocks * 3] int32 chunk descriptors (indexed b*3 + chunk;
-    2-D SMEM arrays are lane-padded to 128, 1-D ones are not), cnt
-    [n_blocks] int32 total tile counts, and own_base [1] int32 — the
-    column of own block 0 inside the pack (0 single-chip; the halo-exchange
-    sharded engine passes the local slab offset of the device's own rows,
-    which must be a multiple of ALIGN). lo/hi are unused by the kernel
-    (maskless) but kept in the table format: the compact-slab and halo
-    table remaps are built from them on the host side.
-    """
-    n_prefetch = 6
-    group = _group_of(n_blocks)
+    Tile streaming uses a FLAT tile table and a continuous DEPTH-slot
+    DMA ring that crosses sub-block and grid-step boundaries: tile t's
+    slab columns are flat_t[t] (global tile index t = gts_t[b] + s for
+    tile s of block b), its VMEM slot is t % DEPTH, and each tile's
+    compute issues the DMA for tile t + DEPTH. The r4 on-chip sweep
+    measured ~42% of step time as per-tile fixed cost with the previous
+    depth-2 per-block ring (8-16 KB DMAs cannot hide their own issue
+    latency behind ~0.4 us of tile compute, and every sub-block paid a
+    pipeline refill); the continuous deep ring removes the refills and
+    keeps DEPTH-1 DMAs in flight at all times.
 
-    def kernel(aln_t, lo_t, hi_t, s0_t, cnt_t, ob_t, own_h, slab_h, *rest):
-        del lo_t, hi_t  # maskless: tiles are disjoint + covering
+    Scalar-prefetch tables arrive in the legacy 6-tuple format from
+    core.fast._window_tables — aln/lo/hi/s0 flattened [n_blocks * 3]
+    int32 chunk descriptors, cnt [n_blocks], own_base [1] (the column of
+    own block 0 inside the pack; 0 single-chip, the halo engine passes
+    the device's local slab offset, a multiple of ALIGN) — and `call`
+    converts them to (flat, gts, own_base) on the fly (cheap vector ops,
+    CSE'd across the step's passes).
+    """
+    n_prefetch = 3
+    group = _group_of(n_blocks)
+    cap = n_blocks * _tile_cap(ccol)
+    DEPTH = _depth()
+
+    def kernel(flat_t, gts_t, ob_t, own_h, slab_h, *rest):
         outs = rest[:n_outputs]
         own_scr, slab_scr, osem, ssem = rest[n_outputs:]
 
@@ -287,19 +341,32 @@ def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
             own_h.at[:, pl.ds(own_off0, group * block)], own_scr, osem
         )
         cp_own.start()
+        t_total = gts_t[n_blocks]
 
-        def tile_chunk_off(b3, s):
-            c = b3 + ((s >= s0_t[b3 + 1]).astype(jnp.int32)
-                      + (s >= s0_t[b3 + 2]).astype(jnp.int32))
-            off = aln_t[c] + (s - s0_t[c]) * ccol
-            return c, pl.multiple_of(off, ALIGN)
-
-        def tile_copy(b3, s, slot):
-            _, off = tile_chunk_off(b3, s)
+        def tile_copy(t):
+            off = pl.multiple_of(flat_t[t], ALIGN)
             return pltpu.make_async_copy(
-                slab_h.at[:, pl.ds(off, ccol)], slab_scr.at[slot],
-                ssem.at[slot],
+                slab_h.at[:, pl.ds(off, ccol)],
+                slab_scr.at[jax.lax.rem(t, DEPTH)],
+                ssem.at[jax.lax.rem(t, DEPTH)],
             )
+
+        # prime the ring once with DEPTH-1 tiles; it then stays full
+        # across sub-blocks AND grid steps (TPU grid iterations are
+        # sequential and scratch + semaphores persist, so DMAs started
+        # late in grid step g are waited on in step g+1). The ring runs
+        # at depth DEPTH-1 so tile t's refill lands in the slot freed by
+        # tile t-1 — never the slot tile t is about to read (no
+        # write-after-read hazard on the in-flight slot).
+        @pl.when(g == 0)
+        def _():
+            def prime(i, c):
+                @pl.when(i < t_total)
+                def _():
+                    tile_copy(i).start()
+                return c
+
+            jax.lax.fori_loop(0, DEPTH - 1, prime, 0)
 
         cp_own.wait()
         # one (split, exact) MXU transpose per sub-block: rows
@@ -309,8 +376,8 @@ def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
 
         for sub in range(group):
             b = base_b + sub
-            b3 = b * 3
-            n_s = cnt_t[b]
+            t0 = gts_t[b]
+            n_s = gts_t[b + 1] - t0
             own_off = own_off0 + sub * block
             o0 = sub * block
             # (block, cols): out[i, a] = own[a, i]
@@ -329,21 +396,18 @@ def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
             )
             ctx = dict(own_gid=own_gid)
 
-            # all slot waits from the previous sub-block have completed,
-            # so slot 0 is free to seed this sub-block's stream
-            @pl.when(n_s > 0)
-            def _(b3=b3):
-                tile_copy(b3, 0, 0).start()
+            def body(s, accs, t0=t0, own_ctx=own_ctx, ctx=ctx):
+                t = t0 + s
+                tile_copy(t).wait()
 
-            def body(s, accs, b3=b3, n_s=n_s, own_ctx=own_ctx, ctx=ctx):
-                slot = jax.lax.rem(s, 2)
-
-                @pl.when(s + 1 < n_s)
+                # refill the slot tile t-1 freed, then compute tile t
+                @pl.when(t + DEPTH - 1 < t_total)
                 def _():
-                    tile_copy(b3, s + 1, jax.lax.rem(s + 1, 2)).start()
+                    tile_copy(t + DEPTH - 1).start()
 
-                tile_copy(b3, s, slot).wait()
-                return tile_fn(own_ctx, slab_scr.at[slot], ctx, accs)
+                return tile_fn(
+                    own_ctx, slab_scr.at[jax.lax.rem(t, DEPTH)], ctx, accs
+                )
 
             if finish_fn is None:
                 accs = tuple(
@@ -383,9 +447,10 @@ def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
         scratch_shapes=(
             [pltpu.VMEM((-(-own_cols // 8) * 8, group * block),
                         jnp.float32),
-             pltpu.VMEM((2, -(-slab_cols // 8) * 8, ccol), jnp.float32)]
+             pltpu.VMEM((DEPTH, -(-slab_cols // 8) * 8, ccol),
+                        jnp.float32)]
             + [pltpu.SemaphoreType.DMA,
-               pltpu.SemaphoreType.DMA((2,))]
+               pltpu.SemaphoreType.DMA((DEPTH,))]
         ),
     )
     n_pad = n_blocks * block
@@ -396,10 +461,11 @@ def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
     )
 
     def call(tables, own_pack, slab_pack):
-        assert len(tables) == n_prefetch, (
-            f"pass expects {n_prefetch} tables, got {len(tables)}"
+        assert len(tables) == 6, (
+            f"pass expects the 6-tuple table format, got {len(tables)}"
         )
-        args = list(tables) + [own_pack, slab_pack]
+        args = list(_flat_tile_tables(tables, ccol, n_blocks, cap)) \
+            + [own_pack, slab_pack]
         res = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,

@@ -316,6 +316,23 @@ class Simulator:
                 self.step_count, bad,
             )
         if self.engine in ("fast", "halo"):
+            # flat tile-table capacity check (pair_kernels tiles beyond
+            # the static smax/cap would be silently dropped)
+            from ..core.fast import tile_table_stats
+            from ..ops.pair_kernels import _tile_cap
+
+            cfg = self._fast_cfg
+            tmax, ttot = tile_table_stats(pos, self.params, cfg)
+            smax = max(8, 16384 // cfg.ccol)
+            cap = cfg.n_blocks * _tile_cap(cfg.ccol)
+            out["tile_overflow"] = max(0, tmax - smax) + max(0, ttot - cap)
+            if out["tile_overflow"]:
+                logger.warning(
+                    "tile-table overflow at step %d: max/block %d (cap %d),"
+                    " total %d (cap %d) — pair tiles are being dropped",
+                    self.step_count, tmax, smax, ttot, cap,
+                )
+        if self.engine in ("fast", "halo"):
             # worst per-resort-period PAIR-APPROACH bound since the last
             # check, in units of h: 2x the in-scan sum of per-step max
             # Euclidean displacements (two particles can converge at twice
