@@ -211,7 +211,7 @@ def gate_worm_integrity(scene, params, state):
 
 
 def run_engine(engine, scene, params, chunk, budget_s, sub=None,
-               block=256, ccol=256):
+               block=256, ccol=256, ccol_c=None):
     from sph_tpu.core.step import multi_step
     from sph_tpu.core.fast import compute_fast_config, make_fast_multi_step
 
@@ -219,7 +219,7 @@ def run_engine(engine, scene, params, chunk, budget_s, sub=None,
     layout = scene.layout()
     if engine == "fast":
         cfg = compute_fast_config(scene.pos, params, sub=sub,
-                                  block=block, ccol=ccol)
+                                  block=block, ccol=ccol, ccol_c=ccol_c)
         run = make_fast_multi_step(params, layout, cfg, chunk)
 
         def advance(s):
@@ -316,10 +316,13 @@ def main() -> int:
                 if "SPH_BENCH_SUB" not in os.environ:
                     sub = tuned.get("sub", sub)
                     sub = int(sub) if sub else None
+                ccol_c = tuned.get("ccol_c")
+                ccol_c = int(ccol_c) if ccol_c else None
                 if "depth" in tuned and "SPH_TPU_DMA_DEPTH" not in os.environ:
                     # pair-pass DMA ring depth (read at pass-build time)
                     os.environ["SPH_TPU_DMA_DEPTH"] = str(int(tuned["depth"]))
                 log(f"# tuned config: block={block} ccol={ccol} sub={sub} "
+                    f"ccol_c={ccol_c} "
                     f"depth={os.environ.get('SPH_TPU_DMA_DEPTH', '6')}")
             except Exception:
                 log("# ignoring unreadable best_config.json")
@@ -330,7 +333,7 @@ def main() -> int:
             # one) — the resort machinery amortizes 3x further than chunk 10
             steps, wall, compile_s, end_state = run_engine(
                 "fast", scene, params, 30, 90.0, sub=sub,
-                block=block, ccol=ccol)
+                block=block, ccol=ccol, ccol_c=ccol_c)
         except Exception as e:
             traceback.print_exc(file=sys.stderr)
             if _is_backend_death(e):

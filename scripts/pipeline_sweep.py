@@ -23,14 +23,13 @@ import numpy as np
 RES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "results", "r4")
 
-# (depth, ccol)
+# (depth, ccol, ccol_c) — ccol_c: compact-pass (boundary/spring/membrane)
+# tile width; the boundary pass measured 8.6 ms at main ccol 512 vs ~3 at
+# 256 (r4 chip ablation)
 CONFIGS = [
-    (6, 256),
-    (4, 256),
-    (8, 256),
-    (2, 256),   # ~old ring depth with the flat table (isolates the refill win)
-    (6, 128),
-    (8, 128),
+    (8, 512, 256),
+    (8, 512, 128),
+    (8, 256, 128),
 ]
 
 
@@ -58,11 +57,12 @@ def main():
         return float(np.asarray(s.pos[0]).sum())
 
     rows = []
-    for depth, ccol in CONFIGS:
+    for depth, ccol, ccol_c in CONFIGS:
         os.environ["SPH_TPU_DMA_DEPTH"] = str(depth)
         try:
             cfg = compute_fast_config(scene.pos, params, block=256,
-                                      ccol=ccol, resort_every=30)
+                                      ccol=ccol, ccol_c=ccol_c,
+                                      resort_every=30)
             run = make_fast_multi_step(params, layout, cfg, chunk)
             t0 = time.time()
             state = run(state0, springs, membranes)
@@ -81,18 +81,27 @@ def main():
         except Exception as e:  # keep sweeping on a single-config failure
             print(f"depth={depth} ccol={ccol}: FAILED {e!r}", flush=True)
             continue
-        print(f"depth={depth} ccol={ccol}: compile {compile_s:.1f}s, "
-              f"{ms:.2f} ms/step, {pps/1e6:.2f}M psteps/s, finite={fin}",
-              flush=True)
+        print(f"depth={depth} ccol={ccol} ccol_c={ccol_c}: "
+              f"compile {compile_s:.1f}s, {ms:.2f} ms/step, "
+              f"{pps/1e6:.2f}M psteps/s, finite={fin}", flush=True)
         rows.append({"block": 256, "ccol": ccol, "sub": None, "depth": depth,
-                     "ms_per_step": ms, "psteps_per_s": pps,
-                     "compile_s": compile_s, "finite": fin})
+                     "ccol_c": ccol_c, "ms_per_step": ms,
+                     "psteps_per_s": pps, "compile_s": compile_s,
+                     "finite": fin})
 
     os.makedirs(RES, exist_ok=True)
     json.dump(rows, open(os.path.join(RES, "pipeline_sweep.json"), "w"),
               indent=1)
     good = [r for r in rows if r["finite"]]
     if good and on_tpu:
+        # compare against the previously recorded best so a losing sweep
+        # can never regress the bench config
+        prev = os.path.join(RES, "best_config.json")
+        if os.path.exists(prev):
+            try:
+                good.append(json.load(open(prev)))
+            except Exception:
+                pass
         best = min(good, key=lambda r: r["ms_per_step"])
         json.dump(best, open(os.path.join(RES, "best_config.json"), "w"))
         print("best:", best, flush=True)

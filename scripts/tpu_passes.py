@@ -33,7 +33,7 @@ sort_ctx, carry_of, inner_step, unsort_state = _make_step_parts(
     params, layout, cfg)
 ctx = jax.jit(lambda s: sort_ctx(s, springs, membranes))(state)
 carry = jax.jit(carry_of)(ctx, state)
-xs, ys, zs, vtx, vty, vtz, act, step_no = carry
+xs, ys, zs, vtx, vty, vtz, act, step_no = carry[:8]
 
 isb_s = ctx["isb_s"]
 vxs = jnp.where(isb_s > 0, ctx["nxs"], vtx)

@@ -59,6 +59,16 @@ class FastConfig:
     # (scripts/r3_window_analysis.py); results are unchanged (skipped
     # contributions are exact zeros — see pair_kernels._make_sub_pass)
     sub: int | None = None
+    # tile width of the COMPACT-slab passes (boundary/spring/membrane):
+    # their windows are sparse intersections of the main window with the
+    # compact slab, so wide tiles are mostly quantization waste — at
+    # ccol=512 the boundary pass measured 8.6 ms vs ~3 at 256 (r4 chip
+    # ablation). None = use ccol (the halo engine always does).
+    ccol_c: int | None = None
+
+    @property
+    def ccol_compact(self) -> int:
+        return self.ccol_c or self.ccol
 
     @property
     def n_pad(self) -> int:
@@ -83,6 +93,7 @@ def compute_fast_config(
     resort_every: int = 30,
     block_multiple: int = 8,
     sub: int | None = None,
+    ccol_c: int | None = None,
 ) -> FastConfig:
     """Static fast-engine shapes. Unlike round 1 there is no measured slab
     capacity: windows are streamed with a dynamic tile count, so nothing
@@ -110,7 +121,7 @@ def compute_fast_config(
     return FastConfig(
         n_particles=n, n_blocks=nb, block=block, ccol=ccol,
         dims=(nx, ny, nz), interpret=interpret, resort_every=resort_every,
-        sub=sub,
+        sub=sub, ccol_c=ccol_c,
     )
 
 
@@ -302,13 +313,17 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
         inv_h=inv_h, rho0_delta=np.float32(params.rho0 * params.delta),
         **mkw
     )
-    boundary_pass = pk.make_boundary_pass(r0=r0, **kw)
-    membrane_pass = pk.make_membrane_pass(r0=r0, **kw)
+    # compact-slab passes use their own (narrower) tile width: their
+    # windows are sparse intersections, so main-width tiles are mostly
+    # quantization waste (boundary pass 8.6 -> ~3 ms at ccol 512 -> 256)
+    ckw = dict(kw, ccol=cfg.ccol_compact)
+    boundary_pass = pk.make_boundary_pass(r0=r0, **ckw)
+    membrane_pass = pk.make_membrane_pass(r0=r0, **ckw)
     n_slots = layout.spring_slots
     spring_pass = pk.make_spring_pass(
         inv_h=inv_h,
         h_scale=np.float32(params.h * params.simulation_scale),
-        k_spring=np.float32(params.k_spring), n_slots=n_slots, **kw,
+        k_spring=np.float32(params.k_spring), n_slots=n_slots, **ckw,
     )
 
     n = cfg.n_particles
@@ -398,12 +413,12 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
             lo_b = jnp.searchsorted(bels, lo_t).astype(jnp.int32)
             hi_b = jnp.searchsorted(bels, hi_t).astype(jnp.int32)
             aln_b, s0_b, cnt_b = _tile_chunks(
-                lo_b, hi_b, cfg.n_blocks, cfg.ccol
+                lo_b, hi_b, cfg.n_blocks, cfg.ccol_compact
             )
             bnd_tables = (aln_b, lo_b, hi_b, s0_b,
                           jnp.where(own_nonb & win_has_b, cnt_b, 0), ob_t)
             n_b = b1 - b0
-            bcap = -(-n_b // ALIGN) * ALIGN + cfg.ccol
+            bcap = -(-n_b // ALIGN) * ALIGN + cfg.ccol_compact
 
             def brow(a, fill):
                 return jnp.full((bcap,), fill, jnp.float32).at[
@@ -418,7 +433,7 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
         else:
             bnd_tables = (aln_t, lo_t, hi_t, s0_t,
                           jnp.zeros_like(cnt_t), ob_t)
-            bnd_pack = jnp.zeros((8, cfg.ccol), jnp.float32)
+            bnd_pack = jnp.zeros((8, cfg.ccol_compact), jnp.float32)
         # density/rho* skip wall blocks with no moving particle in reach:
         # their rho is only ever read for pairs that the q2 cutoff masks
         # (a moving particle within h of a boundary row implies it is in
@@ -460,14 +475,14 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
             lo_c = jnp.searchsorted(els, lo_t).astype(jnp.int32)
             hi_c = jnp.searchsorted(els, hi_t).astype(jnp.int32)
             aln_c, s0_c, cnt_c = _tile_chunks(
-                lo_c, hi_c, cfg.n_blocks, cfg.ccol
+                lo_c, hi_c, cfg.n_blocks, cfg.ccol_compact
             )
 
         # springs as a pair pass over the compact slab: each compact
         # column j carries its 32 spring-partner sorted ids + rest
         # lengths (static per resort) and per-step activation terms
         if have_springs and layout.springs_elastic_only:
-            mcap = -(-n_el // ALIGN) * ALIGN + cfg.ccol
+            mcap = -(-n_el // ALIGN) * ALIGN + cfg.ccol_compact
             rmap = jnp.full(n, -1, jnp.int32).at[springs.row_ids].set(
                 jnp.arange(springs.n_elastic, dtype=jnp.int32)
             )
@@ -741,7 +756,7 @@ def _make_step_parts(params: SimParams, layout: SceneLayout, cfg: FastConfig):
             tri_mat = (
                 g[:, :6].reshape(n_el, 42).T
             )                                            # [42, n_el]
-            mcap = -(-n_el // ALIGN) * ALIGN + cfg.ccol
+            mcap = -(-n_el // ALIGN) * ALIGN + cfg.ccol_compact
             # rows 42-47: x(t+1) and x(t) of the elastic columns — one
             # 8-wide row gather of the stacked fields
             pos6 = jnp.stack(

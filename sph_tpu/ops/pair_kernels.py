@@ -288,7 +288,8 @@ def _group_of(n_blocks: int) -> int:
 
 
 def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
-               block, ccol, n_blocks, interpret=False, finish_fn=None):
+               block, ccol, n_blocks, interpret=False, finish_fn=None,
+               own_t_rows=None):
     """Build a jitted pair pass over [n_blocks] own blocks.
 
     prep_fn(orow, ocol) -> own_ctx — once per block; orow(a) reads own
@@ -329,6 +330,12 @@ def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
     group = _group_of(n_blocks)
     cap = n_blocks * _tile_cap(ccol)
     DEPTH = _depth()
+    # number of own fields prep_fn reads as (block, 1) COLUMNS (they must
+    # be the first rows of the own pack): the per-sub-block MXU transpose
+    # costs ~ block^2 x rows MACs x 3 split passes, so transposing only
+    # the needed rows (3 of 8 for density/viscsurf/springs) cuts a
+    # measured slice of the ~7.6 ms/step fixed-cost floor (r4 ablation)
+    t_rows = own_t_rows or own_cols
 
     def kernel(flat_t, gts_t, ob_t, own_h, slab_h, *rest):
         outs = rest[:n_outputs]
@@ -380,8 +387,8 @@ def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
             n_s = gts_t[b + 1] - t0
             own_off = own_off0 + sub * block
             o0 = sub * block
-            # (block, cols): out[i, a] = own[a, i]
-            ownT = _eye_dot(own_scr[:, o0:o0 + block], eye,
+            # (block, t_rows): out[i, a] = own[a, i]
+            ownT = _eye_dot(own_scr[:t_rows, o0:o0 + block], eye,
                             (((1,), (1,)), ((), ())), v_first=False)
 
             def orow(a, o0=o0):
@@ -484,7 +491,7 @@ def _make_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
 
 def _make_sub_pass(prep_fn, tile_fn, *, own_cols, slab_cols, n_outputs,
                    block, sub, ccol, n_blocks, interpret=False,
-                   finish_fn=None):
+                   finish_fn=None, own_t_rows=None):
     """Subgroup-gated variant of :func:`_make_pass` (round 4).
 
     The maskless block window is the UNION of its own rows' reach: a
@@ -776,7 +783,8 @@ def make_density_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
     raw = _maker(block, sub)(prep, tile, own_cols=MAIN_COLS,
                              slab_cols=MAIN_COLS, n_outputs=1, block=block,
                              ccol=ccol, n_blocks=n_blocks,
-                             interpret=interpret, finish_fn=finish)
+                             interpret=interpret, finish_fn=finish,
+                             own_t_rows=3)
 
     def call(tables, own_pack, slab_pack):
         # subtract the exact self term (included maskless); rows with a
@@ -855,6 +863,7 @@ def make_viscsurf_pass(*, block, ccol, n_blocks, inv_h2, interpret=False,
 
     raw = _maker(block, sub)(prep, tile, own_cols=MAIN_COLS,
                              slab_cols=MAIN_COLS, n_outputs=6, block=block,
+                             own_t_rows=3,
                              ccol=ccol, n_blocks=n_blocks,
                              interpret=interpret)
     inv_h = np.float32(np.sqrt(inv_h2))
@@ -1050,7 +1059,7 @@ def make_spring_pass(*, block, ccol, n_blocks, inv_h, h_scale, k_spring,
         ax, ay, az = accs
         return ax + s3[0], ay + s3[1], az + s3[2]
 
-    return _make_pass(prep, tile, own_cols=MAIN_COLS,
+    return _make_pass(prep, tile, own_t_rows=3, own_cols=MAIN_COLS,
                       slab_cols=spr_cols(n_slots),
                       n_outputs=3, block=block, ccol=ccol,
                       n_blocks=n_blocks, interpret=interpret)

@@ -69,6 +69,23 @@ def test_fast_matches_exact_box_with_boundary():
     compare(scene, params, 3, atol=5e-5)
 
 
+def test_fast_compact_ccol_matches_exact():
+    """ccol_c (narrow compact-pass tiles) changes tile partitioning of the
+    boundary pass only — physics must still match the exact engine."""
+    params = SimParams(x_max=8 * H, y_max=8 * H, z_max=8 * H)
+    scene = generate_liquid_box_scene(params, fill_fraction=0.5)
+    state, springs, membranes = scene.device_state()
+    layout = scene.layout()
+    ref = multi_step(state, springs, membranes, params, layout, 3)
+    cfg = compute_fast_config(scene.pos, params, ccol=256, ccol_c=128)
+    fast = make_fast_multi_step(params, layout, cfg, 3)(
+        state, springs, membranes
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.pos), np.asarray(ref.pos), rtol=0, atol=5e-5
+    )
+
+
 def test_fast_with_springs_and_muscle():
     params = SimParams(x_max=8 * H, y_max=8 * H, z_max=8 * H)
     scene = sparse_blob_scene(params, n_side=6)
