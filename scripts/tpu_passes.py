@@ -93,8 +93,11 @@ bnd = jax.jit(lambda *f: fast._pack(list(f)))(
 timeit("boundary pass (gated)", lambda t, o, m: boundary_pass(t, o, m),
        btables, iter6, bnd)
 
-# elastic pieces
-if springs.n_elastic:
+# elastic pieces: the gather/scatter timings below date from the r2
+# XLA-gather spring path; the live engine streams springs as a compact
+# pair pass (ctx["spr_tables"]), so they only run when the fallback
+# path is active
+if springs.n_elastic and "springs_s" in ctx:
     sp = ctx["springs_s"]
     from sph_tpu.core.elastic import elastic_accel
     from sph_tpu.ops import vec3
