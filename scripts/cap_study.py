@@ -3,19 +3,79 @@
 engine's own cap-sensitivity yardstick (32 -> 64 -> 96), plus the
 boundary-shell density comparison the deviation claim is about.
 
+STATUS: live instrument (r4). Crash-resilient layout: each arm (fast,
+exact cap=32/64/96) runs in its OWN subprocess and checkpoints its
+trajectory to results/r4/cap_arms/<arm>.npz — a TPU-worker crash in one
+arm (observed repeatedly for cap=64 after two prior arms compiled in the
+same process: cumulative HBM pressure) neither loses completed arms nor
+blocks the table; reruns resume from the saved npz files. Arms that
+never complete are reported as unavailable columns.
+
 Run on the real chip:  python scripts/cap_study.py [--steps 100]
 Appends a results table to BASELINE.md with --record.
 """
 import argparse
 import dataclasses
 import os
+import subprocess
 import sys
 import time
 
-os.environ["JAX_PLATFORMS"] = ""
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_PLATFORMS", "")
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
 import numpy as np
+
+ARM_DIR = os.path.join(ROOT, "results", "r4", "cap_arms")
+ARMS = ("fast", "e32", "e64", "e96")
+
+
+def run_arm(arm, args):
+    """Run one arm to completion and save its checkpoints (subprocess)."""
+    from sph_tpu.config import SimParams
+    from sph_tpu.scene import generate_worm_scene
+    from sph_tpu.core.fast import compute_fast_config, make_fast_multi_step
+    from sph_tpu.core.step import multi_step, multi_step_cached, diagnostics
+
+    params = SimParams()
+    scene = generate_worm_scene(params)
+    state0, springs, membranes = scene.device_state()
+    layout = scene.layout()
+    print(f"[{arm}] worm: {scene.n_particles} particles", flush=True)
+
+    checkpoints = list(range(args.every, args.steps + 1, args.every))
+    t0 = time.time()
+    out, s = [], state0
+
+    if arm == "fast":
+        # resort_every=1: fresh windows isolate the CAP deviation from
+        # the separately-quantified window staleness (BASELINE.md)
+        cfg = dataclasses.replace(
+            compute_fast_config(scene.pos, params), resort_every=1)
+        run = make_fast_multi_step(params, layout, cfg, args.every)
+        for _ in checkpoints:
+            s = run(s, springs, membranes)
+            out.append(np.asarray(s.pos))
+    else:
+        cap = int(arm[1:])
+        p = dataclasses.replace(params, max_neighbors=cap)
+        for _ in checkpoints:
+            if args.cached > 0:
+                s = multi_step_cached(s, springs, membranes, p, layout,
+                                      args.every,
+                                      refresh_every=args.cached)
+            else:
+                s = multi_step(s, springs, membranes, p, layout, args.every)
+            out.append(np.asarray(s.pos))
+
+    rho = np.asarray(diagnostics(s, params)["rho"])
+    np.savez_compressed(
+        os.path.join(ARM_DIR, f"{arm}.npz"),
+        traj=np.stack(out), rho=rho, checkpoints=np.asarray(checkpoints))
+    print(f"[{arm}] {args.steps} steps done ({time.time()-t0:.0f}s)",
+          flush=True)
+    return 0
 
 
 def main():
@@ -23,6 +83,8 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--every", type=int, default=10)
     ap.add_argument("--record", action="store_true")
+    ap.add_argument("--arm", choices=ARMS, default=None,
+                    help="internal: run a single arm and exit")
     ap.add_argument(
         "--cached", type=int, default=0, metavar="K",
         help="use multi_step_cached with refresh_every=K as the exact "
@@ -30,83 +92,69 @@ def main():
              "the dominant exact cost — runs once per K steps; "
              "bit-identical to multi_step at K=1)")
     args = ap.parse_args()
+    os.makedirs(ARM_DIR, exist_ok=True)
 
+    if args.arm:
+        return run_arm(args.arm, args)
+
+    # Orchestrator: one subprocess per missing arm; crashes are tolerated.
+    for arm in ARMS:
+        path = os.path.join(ARM_DIR, f"{arm}.npz")
+        if os.path.exists(path):
+            print(f"{arm}: cached -> {path}", flush=True)
+            continue
+        argv = [sys.executable, os.path.abspath(__file__), "--arm", arm,
+                "--steps", str(args.steps), "--every", str(args.every),
+                "--cached", str(args.cached)]
+        r = subprocess.run(argv, cwd=ROOT, timeout=2700)
+        if r.returncode != 0:
+            print(f"{arm}: FAILED rc={r.returncode} (arm skipped; rerun "
+                  "resumes completed arms)", flush=True)
+
+    arms = {}
+    for arm in ARMS:
+        path = os.path.join(ARM_DIR, f"{arm}.npz")
+        if os.path.exists(path):
+            arms[arm] = np.load(path)
+    if "fast" not in arms or "e32" not in arms:
+        print("cap_study: core arms (fast, e32) unavailable — no table")
+        return 1
+
+    checkpoints = arms["e32"]["checkpoints"]
+
+    def col(a, b):
+        if a not in arms or b not in arms:
+            return None
+        return np.abs(arms[a]["traj"] - arms[b]["traj"]).max(axis=(1, 2))
+
+    cols = [("fast vs exact32", col("fast", "e32")),
+            ("exact64 vs 32 (yardstick)", col("e64", "e32")),
+            ("exact96 vs 64", col("e96", "e64"))]
+    header = "| steps | " + " | ".join(n for n, _ in cols) + " |"
+    sep = "|---" * (len(cols) + 1) + "|"
+    rows = []
+    for i, k in enumerate(checkpoints):
+        cells = [f"{c[i]:.2e}" if c is not None else "n/a" for _, c in cols]
+        rows.append(f"| {int(k)} | " + " | ".join(cells) + " |")
+        print(rows[-1], flush=True)
+
+    # boundary-shell density: liquid particles within 2h of the wall box
     from sph_tpu.config import SimParams
     from sph_tpu.scene import generate_worm_scene
-    from sph_tpu.core.fast import compute_fast_config, make_fast_multi_step
-    from sph_tpu.core.step import multi_step, multi_step_cached, diagnostics
-    from sph_tpu.constants import BOUNDARY_PARTICLE, LIQUID_PARTICLE
+    from sph_tpu.constants import LIQUID_PARTICLE
 
     params = SimParams()
     scene = generate_worm_scene(params)
-    state0, springs, membranes = scene.device_state()
-    layout = scene.layout()
-    n = scene.n_particles
-    print(f"worm: {n} particles", flush=True)
-
-    checkpoints = list(range(args.every, args.steps + 1, args.every))
-
-    def run_exact(cap):
-        p = dataclasses.replace(params, max_neighbors=cap)
-        out, s = [], state0
-        t0 = time.time()
-        for k in checkpoints:
-            if args.cached > 0:
-                s = multi_step_cached(s, springs, membranes, p, layout,
-                                      args.every,
-                                      refresh_every=args.cached)
-            else:
-                s = multi_step(s, springs, membranes, p, layout,
-                               args.every)
-            out.append(np.asarray(s.pos))
-        tag = f" (cached K={args.cached})" if args.cached > 0 else ""
-        print(f"exact cap={cap}{tag}: {args.steps} steps "
-              f"({time.time()-t0:.0f}s)", flush=True)
-        return out, s
-
-    def run_fast():
-        # resort_every=1: fresh windows isolate the CAP deviation from
-        # the separately-quantified window staleness (BASELINE.md)
-        cfg = dataclasses.replace(
-            compute_fast_config(scene.pos, params), resort_every=1)
-        run = make_fast_multi_step(params, layout, cfg, args.every)
-        out, s = [], state0
-        t0 = time.time()
-        for k in checkpoints:
-            s = run(s, springs, membranes)
-            out.append(np.asarray(s.pos))
-        print(f"fast (no cap, resort 1): {args.steps} steps "
-              f"({time.time()-t0:.0f}s)", flush=True)
-        return out, s
-
-    fast_t, fast_s = run_fast()
-    e32_t, e32_s = run_exact(32)
-    e64_t, _ = run_exact(64)
-    e96_t, _ = run_exact(96)
-
-    rows = []
-    for i, k in enumerate(checkpoints):
-        d_f32 = float(np.abs(fast_t[i] - e32_t[i]).max())
-        d_6432 = float(np.abs(e64_t[i] - e32_t[i]).max())
-        d_9664 = float(np.abs(e96_t[i] - e64_t[i]).max())
-        rows.append((k, d_f32, d_6432, d_9664))
-        print(f"step {k:4d}: fast-vs-exact32 {d_f32:.2e}   "
-              f"exact64-vs-32 {d_6432:.2e}   exact96-vs-64 {d_9664:.2e}",
-              flush=True)
-
-    # boundary-shell density: liquid particles within h of the wall box
-    pos = np.asarray(state0.pos)
-    typ = np.asarray(state0.ptype)
-    liq = typ == LIQUID_PARTICLE
+    pos = np.asarray(scene.pos)
+    typ = np.asarray(scene.ptype)
     h = params.h
     near_wall = (
         (pos[:, 0] < params.x_min + 2 * h) | (pos[:, 0] > params.x_max - 2 * h)
         | (pos[:, 1] < params.y_min + 2 * h)
         | (pos[:, 2] < params.z_min + 2 * h) | (pos[:, 2] > params.z_max - 2 * h)
     )
-    shell = liq & near_wall
-    rho_f = np.asarray(diagnostics(fast_s, params)["rho"])
-    rho_e = np.asarray(diagnostics(e32_s, params)["rho"])
+    shell = (typ == LIQUID_PARTICLE) & near_wall
+    rho_f, rho_e = arms["fast"]["rho"], arms["e32"]["rho"]
     line = (
         f"boundary-shell liquid density after {args.steps} steps "
         f"({int(shell.sum())} particles): fast mean "
@@ -117,15 +165,17 @@ def main():
     print(line, flush=True)
 
     if args.record:
-        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        with open(os.path.join(root, "BASELINE.md"), "a") as fh:
+        tag = (f"cached K={args.cached}" if args.cached else "multi_step")
+        missing = [a for a in ARMS if a not in arms]
+        note = (f" (arms unavailable after subprocess crash: "
+                f"{', '.join(missing)})" if missing else "")
+        with open(os.path.join(ROOT, "BASELINE.md"), "a") as fh:
             fh.write(
-                f"\n### No-32-cap deviation, dense worm ({n} particles, "
-                f"fresh windows)\n\n"
-                "| steps | fast vs exact32 | exact64 vs 32 (yardstick) | "
-                "exact96 vs 64 |\n|---|---|---|---|\n")
-            for k, a, b, c in rows:
-                fh.write(f"| {k} | {a:.2e} | {b:.2e} | {c:.2e} |\n")
+                f"\n### No-32-cap deviation, dense worm "
+                f"({scene.n_particles} particles, fresh windows, exact = "
+                f"{tag}){note}\n\n" + header + "\n" + sep + "\n")
+            for r_ in rows:
+                fh.write(r_ + "\n")
             fh.write(f"\n{line}\n")
     return 0
 

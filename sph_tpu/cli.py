@@ -56,12 +56,17 @@ def cmd_run(args) -> int:
     scene = _make_scene(args, params)
     print(f"scene: {scene.counts} ({time.time() - t0:.1f}s)")
 
+    fck = {k: v for k, v in (
+        ("ccol", args.ccol), ("ccol_c", args.ccol_c),
+        ("resort_every", args.resort_every),
+    ) if v is not None}
     sim = Simulator(
         scene, params,
         dump_dir=args.dump, dump_interval=args.dump_every,
         log=print if args.verbose else None,
         engine=args.engine,
         adaptive_resort=args.adaptive_resort,
+        fast_config=fck or None,
     )
     if args.restore:
         sim.restore(args.restore)
@@ -165,6 +170,15 @@ def main(argv=None) -> int:
                    help="fast/halo engines: shorten the resort period "
                         "while the in-scan window-drift bound exceeds "
                         "0.25 h (see Simulator.adaptive_resort)")
+    p.add_argument("--ccol", type=int, default=None,
+                   help="fast/halo engines: main pair-pass tile width "
+                        "(multiple of 128; r4 chip-tuned worm value 512)")
+    p.add_argument("--ccol-c", type=int, default=None,
+                   help="fast engine: compact-pass (boundary/spring/"
+                        "membrane) tile width (r4 chip-tuned value 256)")
+    p.add_argument("--resort-every", type=int, default=None,
+                   help="fast/halo engines: steps between spatial "
+                        "resorts (default 30)")
     p.add_argument("-v", "--verbose", action="store_true")
     p.set_defaults(fn=cmd_run)
 

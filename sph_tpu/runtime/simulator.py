@@ -43,6 +43,7 @@ class Simulator:
         adaptive_resort: bool = False,
         drift_threshold_h: float = 0.25,
         distributed_resort: bool = False,
+        fast_config: dict | None = None,
     ):
         """engine: "exact" = neighbor-list engine (reference 32-cap
         semantics); "fast" = blocked Pallas pair engine (all pairs within h,
@@ -63,8 +64,14 @@ class Simulator:
 
         distributed_resort (halo engine): use the O(cells) distributed
         resort instead of the replicated all-gather one (parallel/halo.py
-        round 4); surfaces ``resort_overflow`` through check_overflow."""
+        round 4); surfaces ``resort_overflow`` through check_overflow.
+
+        fast_config (fast/halo engines): keyword overrides forwarded to
+        ``compute_fast_config`` (block/ccol/ccol_c/resort_every/sub) —
+        the r4 chip-tuned worm config is
+        ``{"ccol": 512, "ccol_c": 256}`` (results/r4/best_config.json)."""
         self.params = params or SimParams()
+        fck = dict(fast_config or {})
         if engine == "auto":
             dev = jax.devices()[0]
             on_tpu = (
@@ -82,13 +89,13 @@ class Simulator:
             ndev = self._mesh.devices.size
             bm = math.lcm(8, ndev)  # blocks must divide across devices
             self._fast_cfg = compute_fast_config(
-                scene.pos, self.params, block_multiple=bm
+                scene.pos, self.params, block_multiple=bm, **fck
             )
             scene = pad_scene_to_devices(
                 scene, ndev * self._fast_cfg.block
             )
             self._fast_cfg = compute_fast_config(
-                scene.pos, self.params, block_multiple=bm
+                scene.pos, self.params, block_multiple=bm, **fck
             )
         self.scene = scene
         self.layout = scene.layout()
@@ -104,7 +111,8 @@ class Simulator:
         elif engine == "fast":
             from ..core.fast import compute_fast_config
 
-            self._fast_cfg = compute_fast_config(scene.pos, self.params)
+            self._fast_cfg = compute_fast_config(scene.pos, self.params,
+                                                 **fck)
             # one compiled graph covers any multiple of this chunk; align
             # with the resort period so each chunk re-sorts exactly once
             self._fast_chunk = max(1, self._fast_cfg.resort_every)
