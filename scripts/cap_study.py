@@ -28,11 +28,16 @@ sys.path.insert(0, ROOT)
 import numpy as np
 
 ARM_DIR = os.path.join(ROOT, "results", "r4", "cap_arms")
-ARMS = ("fast", "e32", "e64", "e96")
+# e32p: exact cap=32 from a 1e-6-perturbed start — the chaos yardstick
+# (how fast ANY perturbation grows under the exact engine), needed
+# because the cap=64/96 arms kernel-fault the axon plugin (BASELINE.md)
+ARMS = ("fast", "e32", "e32p", "e64", "e96")
 
 
 def run_arm(arm, args):
     """Run one arm to completion and save its checkpoints (subprocess)."""
+    import jax.numpy as jnp
+
     from sph_tpu.config import SimParams
     from sph_tpu.scene import generate_worm_scene
     from sph_tpu.core.fast import compute_fast_config, make_fast_multi_step
@@ -58,8 +63,16 @@ def run_arm(arm, args):
             s = run(s, springs, membranes)
             out.append(np.asarray(s.pos))
     else:
-        cap = int(arm[1:])
+        cap = int(arm[1:].rstrip("p"))
         p = dataclasses.replace(params, max_neighbors=cap)
+        if arm.endswith("p"):
+            # one particle, one axis, exactly one f32 ulp (an additive
+            # 1e-6 is BELOW f32 resolution at |pos|~20 and rounds away —
+            # measured: the first attempt diverged 0.00 at every step)
+            pos = np.asarray(s.pos).copy()
+            pos[0, 0] = np.nextafter(pos[0, 0], np.float32(np.inf),
+                                     dtype=np.float32)
+            s = dataclasses.replace(s, pos=jnp.asarray(pos, jnp.float32))
         for _ in checkpoints:
             if args.cached > 0:
                 s = multi_step_cached(s, springs, membranes, p, layout,
@@ -85,6 +98,10 @@ def main():
     ap.add_argument("--record", action="store_true")
     ap.add_argument("--arm", choices=ARMS, default=None,
                     help="internal: run a single arm and exit")
+    ap.add_argument("--arms", default=",".join(ARMS),
+                    help="comma list of arms the orchestrator attempts "
+                         "(cached npz arms always enter the table); use "
+                         "to skip the axon-faulting e64/e96 arms")
     ap.add_argument(
         "--cached", type=int, default=0, metavar="K",
         help="use multi_step_cached with refresh_every=K as the exact "
@@ -98,7 +115,8 @@ def main():
         return run_arm(args.arm, args)
 
     # Orchestrator: one subprocess per missing arm; crashes are tolerated.
-    for arm in ARMS:
+    attempt = [a.strip() for a in args.arms.split(",") if a.strip()]
+    for arm in attempt:
         path = os.path.join(ARM_DIR, f"{arm}.npz")
         if os.path.exists(path):
             print(f"{arm}: cached -> {path}", flush=True)
@@ -128,6 +146,8 @@ def main():
         return np.abs(arms[a]["traj"] - arms[b]["traj"]).max(axis=(1, 2))
 
     cols = [("fast vs exact32", col("fast", "e32")),
+            ("exact32 1e-6-perturbed vs exact32 (chaos yardstick)",
+             col("e32p", "e32")),
             ("exact64 vs 32 (yardstick)", col("e64", "e32")),
             ("exact96 vs 64", col("e96", "e64"))]
     header = "| steps | " + " | ".join(n for n, _ in cols) + " |"
