@@ -74,7 +74,16 @@ def run_arm(arm, args):
                                      dtype=np.float32)
             s = dataclasses.replace(s, pos=jnp.asarray(pos, jnp.float32))
         for _ in checkpoints:
-            if args.cached > 0:
+            if args.unroll:
+                # axon-plugin workaround (BASELINE.md r4): the SCANNED
+                # cap=64 worm step kernel-faults the TPU worker while the
+                # identical graph dispatched step-by-step runs fine
+                # (bisect: neighbors-only OK, 1 step OK, scan-of-10
+                # faults, loop-of-10 OK) — pay per-dispatch overhead to
+                # get the yardstick at all
+                for _ in range(args.every):
+                    s = multi_step(s, springs, membranes, p, layout, 1)
+            elif args.cached > 0:
                 s = multi_step_cached(s, springs, membranes, p, layout,
                                       args.every,
                                       refresh_every=args.cached)
@@ -102,6 +111,10 @@ def main():
                     help="comma list of arms the orchestrator attempts "
                          "(cached npz arms always enter the table); use "
                          "to skip the axon-faulting e64/e96 arms")
+    ap.add_argument("--unroll", action="store_true",
+                    help="exact arms: dispatch one step per jit call "
+                         "instead of lax.scan (axon cap=64 scan-fault "
+                         "workaround; slower, same results)")
     ap.add_argument(
         "--cached", type=int, default=0, metavar="K",
         help="use multi_step_cached with refresh_every=K as the exact "
@@ -124,7 +137,10 @@ def main():
         argv = [sys.executable, os.path.abspath(__file__), "--arm", arm,
                 "--steps", str(args.steps), "--every", str(args.every),
                 "--cached", str(args.cached)]
-        r = subprocess.run(argv, cwd=ROOT, timeout=2700)
+        if args.unroll:
+            argv.append("--unroll")
+        r = subprocess.run(argv, cwd=ROOT,
+                           timeout=4500 if args.unroll else 2700)
         if r.returncode != 0:
             print(f"{arm}: FAILED rc={r.returncode} (arm skipped; rerun "
                   "resumes completed arms)", flush=True)
@@ -146,7 +162,7 @@ def main():
         return np.abs(arms[a]["traj"] - arms[b]["traj"]).max(axis=(1, 2))
 
     cols = [("fast vs exact32", col("fast", "e32")),
-            ("exact32 1e-6-perturbed vs exact32 (chaos yardstick)",
+            ("exact32 one-ulp-perturbed vs exact32 (chaos yardstick)",
              col("e32p", "e32")),
             ("exact64 vs 32 (yardstick)", col("e64", "e32")),
             ("exact96 vs 64", col("e96", "e64"))]
