@@ -52,6 +52,16 @@ def run_arm(arm, args):
     checkpoints = list(range(args.every, args.steps + 1, args.every))
     t0 = time.time()
     out, s = [], state0
+    partial = os.path.join(ARM_DIR, f"{arm}.partial.npz")
+
+    def save_partial():
+        # chunk-level crash resilience: a TPU-worker fault mid-arm (the
+        # observed axon cap=64 failure mode) keeps every completed chunk;
+        # the orchestrator's table truncates columns to the common
+        # checkpoint count, so a partial arm still yields yardstick rows
+        np.savez_compressed(
+            partial, traj=np.stack(out),
+            checkpoints=np.asarray(checkpoints[:len(out)]))
 
     if arm == "fast":
         # resort_every=1: fresh windows isolate the CAP deviation from
@@ -62,6 +72,7 @@ def run_arm(arm, args):
         for _ in checkpoints:
             s = run(s, springs, membranes)
             out.append(np.asarray(s.pos))
+            save_partial()
     else:
         cap = int(arm[1:].rstrip("p"))
         p = dataclasses.replace(params, max_neighbors=cap)
@@ -90,11 +101,14 @@ def run_arm(arm, args):
             else:
                 s = multi_step(s, springs, membranes, p, layout, args.every)
             out.append(np.asarray(s.pos))
+            save_partial()
 
     rho = np.asarray(diagnostics(s, params)["rho"])
     np.savez_compressed(
         os.path.join(ARM_DIR, f"{arm}.npz"),
         traj=np.stack(out), rho=rho, checkpoints=np.asarray(checkpoints))
+    if os.path.exists(partial):
+        os.remove(partial)
     print(f"[{arm}] {args.steps} steps done ({time.time()-t0:.0f}s)",
           flush=True)
     return 0
@@ -147,9 +161,13 @@ def main():
 
     arms = {}
     for arm in ARMS:
-        path = os.path.join(ARM_DIR, f"{arm}.npz")
-        if os.path.exists(path):
-            arms[arm] = np.load(path)
+        # final npz preferred; a .partial.npz from a crashed arm still
+        # contributes its completed-chunk rows to the table
+        for suffix in (".npz", ".partial.npz"):
+            path = os.path.join(ARM_DIR, f"{arm}{suffix}")
+            if os.path.exists(path):
+                arms[arm] = np.load(path)
+                break
     if "fast" not in arms or "e32" not in arms:
         print("cap_study: core arms (fast, e32) unavailable — no table")
         return 1
@@ -159,7 +177,9 @@ def main():
     def col(a, b):
         if a not in arms or b not in arms:
             return None
-        return np.abs(arms[a]["traj"] - arms[b]["traj"]).max(axis=(1, 2))
+        ta, tb = arms[a]["traj"], arms[b]["traj"]
+        k = min(len(ta), len(tb))
+        return np.abs(ta[:k] - tb[:k]).max(axis=(1, 2))
 
     cols = [("fast vs exact32", col("fast", "e32")),
             ("exact32 one-ulp-perturbed vs exact32 (chaos yardstick)",
@@ -170,7 +190,8 @@ def main():
     sep = "|---" * (len(cols) + 1) + "|"
     rows = []
     for i, k in enumerate(checkpoints):
-        cells = [f"{c[i]:.2e}" if c is not None else "n/a" for _, c in cols]
+        cells = [f"{c[i]:.2e}" if c is not None and i < len(c) else "n/a"
+                 for _, c in cols]
         rows.append(f"| {int(k)} | " + " | ".join(cells) + " |")
         print(rows[-1], flush=True)
 
@@ -190,14 +211,19 @@ def main():
         | (pos[:, 2] < params.z_min + 2 * h) | (pos[:, 2] > params.z_max - 2 * h)
     )
     shell = (typ == LIQUID_PARTICLE) & near_wall
-    rho_f, rho_e = arms["fast"]["rho"], arms["e32"]["rho"]
-    line = (
-        f"boundary-shell liquid density after {args.steps} steps "
-        f"({int(shell.sum())} particles): fast mean "
-        f"{rho_f[shell].mean():.1f} (p5 {np.percentile(rho_f[shell], 5):.1f})"
-        f" vs exact32 mean {rho_e[shell].mean():.1f} "
-        f"(p5 {np.percentile(rho_e[shell], 5):.1f}); rho0 {params.rho0}"
-    )
+    if "rho" in arms["fast"].files and "rho" in arms["e32"].files:
+        rho_f, rho_e = arms["fast"]["rho"], arms["e32"]["rho"]
+        line = (
+            f"boundary-shell liquid density after {args.steps} steps "
+            f"({int(shell.sum())} particles): fast mean "
+            f"{rho_f[shell].mean():.1f} "
+            f"(p5 {np.percentile(rho_f[shell], 5):.1f})"
+            f" vs exact32 mean {rho_e[shell].mean():.1f} "
+            f"(p5 {np.percentile(rho_e[shell], 5):.1f}); rho0 {params.rho0}"
+        )
+    else:
+        line = ("boundary-shell density: skipped (an arm is partial — "
+                "final-state rho unavailable)")
     print(line, flush=True)
 
     if args.record:
