@@ -41,7 +41,9 @@ def run_arm(arm, args):
     from sph_tpu.config import SimParams
     from sph_tpu.scene import generate_worm_scene
     from sph_tpu.core.fast import compute_fast_config, make_fast_multi_step
-    from sph_tpu.core.step import multi_step, multi_step_cached, diagnostics
+    from sph_tpu.core.step import (
+        multi_step, multi_step_cached, multi_step_unrolled_cached,
+        diagnostics)
 
     params = SimParams()
     scene = generate_worm_scene(params)
@@ -85,7 +87,15 @@ def run_arm(arm, args):
                                      dtype=np.float32)
             s = dataclasses.replace(s, pos=jnp.asarray(pos, jnp.float32))
         for _ in checkpoints:
-            if args.unroll:
+            if args.unroll and args.cached > 0:
+                # axon scan-fault workaround at practical cost: cached
+                # neighbor indices (refresh every K) + one dispatch per
+                # step — no lax.scan anywhere, and the SAME K cadence as
+                # the cached e32 arm (apples-to-apples yardstick)
+                s = multi_step_unrolled_cached(
+                    s, springs, membranes, p, layout, args.every,
+                    refresh_every=args.cached)
+            elif args.unroll:
                 # axon-plugin workaround (BASELINE.md r4): the SCANNED
                 # cap=64 worm step kernel-faults the TPU worker while the
                 # identical graph dispatched step-by-step runs fine
@@ -185,6 +195,13 @@ def main():
             ("exact32 one-ulp-perturbed vs exact32 (chaos yardstick)",
              col("e32p", "e32")),
             ("exact64 vs 32 (yardstick)", col("e64", "e32")),
+            # the convergence test: fast integrates ALL pairs within h at
+            # fresh cadence-1 windows; exact64 is the same cadence with a
+            # 64 cap. If this column sits BELOW fast-vs-exact32, raising
+            # the cap moves the reference-semantics engine TOWARD the
+            # uncapped model — i.e. the fast-vs-exact32 gap is the
+            # reference's own truncation error, not ours.
+            ("fast vs exact64 (convergence)", col("fast", "e64")),
             ("exact96 vs 64", col("e96", "e64"))]
     header = "| steps | " + " | ".join(n for n, _ in cols) + " |"
     sep = "|---" * (len(cols) + 1) + "|"

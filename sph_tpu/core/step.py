@@ -182,6 +182,78 @@ def multi_step(
     return out
 
 
+def _freshen_neighbors(s: FluidState, idx, params: SimParams):
+    """Rebuild a NeighborList from cached neighbor INDICES and the state's
+    CURRENT positions: distances are exact, pairs drifted beyond h are
+    invalidated (kernel support stays exact). Same f32 arithmetic as the
+    neighbor kernel, so a fresh-index freshen is bit-identical to
+    ``find_neighbors`` output."""
+    from .neighbors import NeighborList
+
+    pos = vec3.split(s.pos)
+    h2 = jnp.float32(params.h * params.h)
+    inv_h = jnp.float32(1.0 / params.h)
+    safe = jnp.maximum(idx, 0)
+    d2 = (pos.x[:, None] - pos.x[safe]) ** 2
+    d2 = d2 + (pos.y[:, None] - pos.y[safe]) ** 2
+    d2 = d2 + (pos.z[:, None] - pos.z[safe]) ** 2
+    valid = (idx >= 0) & (d2 <= h2)
+    q = jnp.where(valid, jnp.sqrt(jnp.maximum(d2, 0.0)) * inv_h, 0.0)
+    return NeighborList(idx=jnp.where(valid, idx, -1), q=q, valid=valid)
+
+
+@partial(jax.jit, static_argnames=("params", "layout"))
+def neighbor_indices(state: FluidState, params: SimParams,
+                     layout: SceneLayout):
+    """The neighbor phase alone: [N, max_neighbors] int32 indices."""
+    pos = vec3.split(state.pos)
+    ids = jnp.arange(layout.n_particles, dtype=jnp.int32)
+    grid = build_grid(pos, params)
+    return find_neighbors(pos, ids, pos, grid, params).idx
+
+
+@partial(jax.jit, static_argnames=("params", "layout"))
+def step_cached(
+    state: FluidState,
+    springs: Springs,
+    membranes: Membranes,
+    params: SimParams,
+    layout: SceneLayout,
+    idx,
+) -> FluidState:
+    """One step against cached neighbor indices (distances freshened from
+    current positions)."""
+    return step_core(state, springs, membranes, params, layout,
+                     _freshen_neighbors(state, idx, params))
+
+
+def multi_step_unrolled_cached(
+    state: FluidState,
+    springs: Springs,
+    membranes: Membranes,
+    params: SimParams,
+    layout: SceneLayout,
+    n_steps: int,
+    refresh_every: int = 10,
+) -> FluidState:
+    """``multi_step_cached`` semantics WITHOUT ``lax.scan``: a host loop of
+    one-dispatch-per-step ``step_cached`` calls, refreshing the cached
+    indices every ``refresh_every`` steps.
+
+    Exists for the axon-plugin fault documented in BASELINE.md r4: the
+    SCANNED worm step body at ``max_neighbors>=64`` reproducibly
+    kernel-faults the TPU worker while the identical graph dispatched
+    step-by-step runs fine. Numerically identical to ``multi_step_cached``
+    (same two compiled graphs per refresh period, host-driven instead of
+    scanned)."""
+    idx = None
+    for k in range(int(n_steps)):
+        if idx is None or k % max(1, refresh_every) == 0:
+            idx = neighbor_indices(state, params, layout)
+        state = step_cached(state, springs, membranes, params, layout, idx)
+    return state
+
+
 @partial(jax.jit, static_argnames=("params", "layout", "n_steps",
                                    "refresh_every"))
 def multi_step_cached(
@@ -204,22 +276,10 @@ def multi_step_cached(
     ``multi_step``. Intended as the practical-cost dense-scene ORACLE for
     deviation studies (cap studies, stale-window A/Bs), not as a perf
     path."""
-    from .neighbors import NeighborList
-
     ids = jnp.arange(layout.n_particles, dtype=jnp.int32)
-    h2 = jnp.float32(params.h * params.h)
-    inv_h = jnp.float32(1.0 / params.h)
 
     def freshen(s, idx):
-        pos = vec3.split(s.pos)
-        safe = jnp.maximum(idx, 0)
-        d2 = (pos.x[:, None] - pos.x[safe]) ** 2
-        d2 = d2 + (pos.y[:, None] - pos.y[safe]) ** 2
-        d2 = d2 + (pos.z[:, None] - pos.z[safe]) ** 2
-        valid = (idx >= 0) & (d2 <= h2)
-        q = jnp.where(valid, jnp.sqrt(jnp.maximum(d2, 0.0)) * inv_h, 0.0)
-        return NeighborList(idx=jnp.where(valid, idx, -1), q=q,
-                            valid=valid)
+        return _freshen_neighbors(s, idx, params)
 
     def sweep(s, k):
         pos = vec3.split(s.pos)

@@ -296,3 +296,34 @@ def test_multi_step_cached_neighbors():
     d = np.abs(np.asarray(cached3.pos) - np.asarray(ref.pos)).max()
     assert np.isfinite(np.asarray(cached3.pos)).all()
     assert d < 5e-3, d
+
+
+def test_multi_step_unrolled_cached_matches_scanned():
+    """multi_step_unrolled_cached (the axon scan-fault workaround at
+    practical cost: host loop of one-dispatch steps against cached
+    indices) computes the same trajectory as the scanned
+    multi_step_cached at the same refresh cadence."""
+    from sph_tpu.core.state import make_state
+    from sph_tpu.core.step import (
+        multi_step_cached,
+        multi_step_unrolled_cached,
+    )
+
+    params = small_params()
+    pos, vel = liquid_blob(params, n_side=6, seed=3, vel_scale=0.02)
+    n = len(pos)
+    ptype = np.full(n, LIQUID_PARTICLE, np.int32)
+    state = make_state(pos, vel, ptype, np.zeros((n, 3), np.float32))
+    springs = empty_springs()
+    membranes = empty_membranes(n)
+    lay = SceneLayout(n_particles=n, liquid_range=(0, n))
+
+    scanned = multi_step_cached(state, springs, membranes, params, lay, 6,
+                                refresh_every=3)
+    unrolled = multi_step_unrolled_cached(state, springs, membranes,
+                                          params, lay, 6, refresh_every=3)
+    assert int(unrolled.step) == 6
+    np.testing.assert_array_equal(np.asarray(unrolled.pos),
+                                  np.asarray(scanned.pos))
+    np.testing.assert_array_equal(np.asarray(unrolled.vel),
+                                  np.asarray(scanned.vel))
