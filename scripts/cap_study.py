@@ -55,15 +55,52 @@ def run_arm(arm, args):
     t0 = time.time()
     out, s = [], state0
     partial = os.path.join(ARM_DIR, f"{arm}.partial.npz")
+    sched = np.asarray([args.steps, args.every, args.cached,
+                        int(args.unroll)])
 
     def save_partial():
         # chunk-level crash resilience: a TPU-worker fault mid-arm (the
         # observed axon cap=64 failure mode) keeps every completed chunk;
         # the orchestrator's table truncates columns to the common
-        # checkpoint count, so a partial arm still yields yardstick rows
+        # checkpoint count, so a partial arm still yields yardstick rows.
+        # Written atomically (ADVICE r4: a crash mid-write must not leave
+        # a truncated npz that poisons the rerun); vel/step/sched ride
+        # along so a rerun can TRULY resume from the last chunk.
+        tmp = partial + ".tmp"
         np.savez_compressed(
-            partial, traj=np.stack(out),
-            checkpoints=np.asarray(checkpoints[:len(out)]))
+            tmp, traj=np.stack(out),
+            checkpoints=np.asarray(checkpoints[:len(out)]),
+            vel=np.asarray(s.vel), act=np.asarray(s.muscle_activation),
+            step=np.asarray(s.step), sched=sched)
+        os.replace(tmp, partial)
+
+    if os.path.exists(partial):
+        # resume from the partial iff it matches this run's schedule and
+        # carries full state (ADVICE r4: a stale partial from an older
+        # cadence silently misaligns the yardstick rows)
+        try:
+            z = np.load(partial)
+            ok = ("sched" in z.files and "vel" in z.files
+                  and np.array_equal(z["sched"], sched)
+                  and np.array_equal(
+                      z["checkpoints"],
+                      np.asarray(checkpoints[: len(z["checkpoints"])])))
+        except Exception as e:  # truncated/corrupt partial
+            print(f"[{arm}] unreadable partial discarded: {e}", flush=True)
+            ok = False
+        if ok:
+            out = list(z["traj"])
+            s = dataclasses.replace(
+                state0,
+                pos=jnp.asarray(z["traj"][-1], jnp.float32),
+                vel=jnp.asarray(z["vel"], jnp.float32),
+                muscle_activation=jnp.asarray(z["act"], jnp.float32),
+                step=jnp.asarray(z["step"], jnp.int32))
+            print(f"[{arm}] resumed at {len(out)} chunks "
+                  f"({len(checkpoints) - len(out)} to go)", flush=True)
+        else:
+            os.remove(partial)
+    todo = checkpoints[len(out):]
 
     if arm == "fast":
         # resort_every=1: fresh windows isolate the CAP deviation from
@@ -71,14 +108,14 @@ def run_arm(arm, args):
         cfg = dataclasses.replace(
             compute_fast_config(scene.pos, params), resort_every=1)
         run = make_fast_multi_step(params, layout, cfg, args.every)
-        for _ in checkpoints:
+        for _ in todo:
             s = run(s, springs, membranes)
             out.append(np.asarray(s.pos))
             save_partial()
     else:
         cap = int(arm[1:].rstrip("p"))
         p = dataclasses.replace(params, max_neighbors=cap)
-        if arm.endswith("p"):
+        if arm.endswith("p") and not out:
             # one particle, one axis, exactly one f32 ulp (an additive
             # 1e-6 is BELOW f32 resolution at |pos|~20 and rounds away —
             # measured: the first attempt diverged 0.00 at every step)
@@ -86,7 +123,7 @@ def run_arm(arm, args):
             pos[0, 0] = np.nextafter(pos[0, 0], np.float32(np.inf),
                                      dtype=np.float32)
             s = dataclasses.replace(s, pos=jnp.asarray(pos, jnp.float32))
-        for _ in checkpoints:
+        for _ in todo:
             if args.unroll and args.cached > 0:
                 # axon scan-fault workaround at practical cost: cached
                 # neighbor indices (refresh every K) + one dispatch per
@@ -164,20 +201,42 @@ def main():
         if args.unroll:
             argv.append("--unroll")
         r = subprocess.run(argv, cwd=ROOT,
-                           timeout=4500 if args.unroll else 2700)
+                           timeout=10800 if args.unroll else 2700)
         if r.returncode != 0:
             print(f"{arm}: FAILED rc={r.returncode} (arm skipped; rerun "
                   "resumes completed arms)", flush=True)
 
-    arms = {}
+    arms, partial_arms = {}, []
+    sched = np.asarray([args.steps, args.every, args.cached,
+                        int(args.unroll)])
     for arm in ARMS:
         # final npz preferred; a .partial.npz from a crashed arm still
-        # contributes its completed-chunk rows to the table
+        # contributes its completed-chunk rows to the table — but only
+        # if it matches this run's schedule (ADVICE r4: a stale partial
+        # from an older cadence silently misaligns rows) and is readable
+        # (ADVICE r4: a crash mid-write must not kill the whole table)
         for suffix in (".npz", ".partial.npz"):
             path = os.path.join(ARM_DIR, f"{arm}{suffix}")
-            if os.path.exists(path):
-                arms[arm] = np.load(path)
-                break
+            if not os.path.exists(path):
+                continue
+            try:
+                z = np.load(path)
+                z["traj"].shape  # force header read
+            except Exception as e:
+                print(f"{arm}: unreadable {suffix} skipped: {e}",
+                      flush=True)
+                continue
+            if suffix == ".partial.npz":
+                if "sched" not in z.files or not np.array_equal(
+                        z["sched"], sched):
+                    print(f"{arm}: stale partial (schedule mismatch) "
+                          "skipped", flush=True)
+                    continue
+                partial_arms.append(
+                    f"{arm} ({len(z['checkpoints'])}/"
+                    f"{args.steps // args.every} checkpoints)")
+            arms[arm] = z
+            break
     if "fast" not in arms or "e32" not in arms:
         print("cap_study: core arms (fast, e32) unavailable — no table")
         return 1
@@ -189,6 +248,10 @@ def main():
             return None
         ta, tb = arms[a]["traj"], arms[b]["traj"]
         k = min(len(ta), len(tb))
+        # rows are aligned by index: the overlapping checkpoint
+        # schedules must agree exactly (ADVICE r4)
+        assert np.array_equal(arms[a]["checkpoints"][:k],
+                              arms[b]["checkpoints"][:k]), (a, b)
         return np.abs(ta[:k] - tb[:k]).max(axis=(1, 2))
 
     cols = [("fast vs exact32", col("fast", "e32")),
@@ -196,11 +259,15 @@ def main():
              col("e32p", "e32")),
             ("exact64 vs 32 (yardstick)", col("e64", "e32")),
             # the convergence test: fast integrates ALL pairs within h at
-            # fresh cadence-1 windows; exact64 is the same cadence with a
-            # 64 cap. If this column sits BELOW fast-vs-exact32, raising
-            # the cap moves the reference-semantics engine TOWARD the
-            # uncapped model — i.e. the fast-vs-exact32 gap is the
-            # reference's own truncation error, not ours.
+            # fresh cadence-1 windows; exact64 raises the cap. If this
+            # column sits BELOW fast-vs-exact32, raising the cap moves
+            # the reference-semantics engine TOWARD the uncapped model —
+            # i.e. the fast-vs-exact32 gap is the reference's own
+            # truncation error, not ours. CAVEAT (ADVICE r4): with
+            # --cached K>1 the exact arms refresh neighbor INDICES every
+            # K steps while fast runs fresh windows, so this column
+            # confounds cap effects with index staleness; a strict
+            # convergence reading needs --cached 1 (or no --cached).
             ("fast vs exact64 (convergence)", col("fast", "e64")),
             ("exact96 vs 64", col("e96", "e64"))]
     header = "| steps | " + " | ".join(n for n, _ in cols) + " |"
@@ -248,6 +315,10 @@ def main():
         missing = [a for a in ARMS if a not in arms]
         note = (f" (arms unavailable after subprocess crash: "
                 f"{', '.join(missing)})" if missing else "")
+        if partial_arms:
+            # ADVICE r4: a truncated column must not read as a completed
+            # run in the recorded table
+            note += f" (partial arms: {', '.join(partial_arms)})"
         with open(os.path.join(ROOT, "BASELINE.md"), "a") as fh:
             fh.write(
                 f"\n### No-32-cap deviation, dense worm "
