@@ -876,7 +876,7 @@ def make_viscsurf_pass(*, block, ccol, n_blocks, inv_h2, interpret=False,
 
 
 def make_rho_star_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
-                       interpret=False, sub=None, **_):
+                       interpret=False, sub=None, raw=False, **_):
     """Predicted density (sphFluid.cl:982-1059): contribution from
     predicted positions with q*^2 < 1 strict; maskless like the density
     pass (t = max(h^2 - r*^2, 0), folded 1/h^2 scale, exact self term
@@ -888,7 +888,12 @@ def make_rho_star_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
     ~1e-3 h, so the symmetric difference lies in the q* ~ 1 shell where
     (1-q*^2)^3 ~ 1e-9 — below f32 round-off of the sum. Dropping the
     time-t test saves a second q^2 evaluation per pair (~30% of the
-    pass's VPU work). Pack cols: 0-2 predicted pos."""
+    pass's VPU work). Pack cols: 0-2 predicted pos.
+
+    ``raw=True`` returns the bare t^3 pair sums (NO self-term subtraction
+    or c_rho clamp): the wall-compact engine (core/fastw.py) splits each
+    density into several column-set passes (moving/shell/wall) and must
+    combine the raw sums before the single clamp."""
     h2 = np.float32(1.0) / np.float32(inv_h2)
     self3 = np.float32(h2 * h2) * h2
     inv_h6 = np.float32(inv_h2) * np.float32(inv_h2) * np.float32(inv_h2)
@@ -904,13 +909,15 @@ def make_rho_star_pass(*, block, ccol, n_blocks, inv_h2, c_rho,
     def finish(accs):
         return (_col_to_row(accs[0]),)
 
-    raw = _maker(block, sub)(prep, tile, own_cols=ITER_COLS,
-                             slab_cols=ITER_COLS, n_outputs=1, block=block,
-                             ccol=ccol, n_blocks=n_blocks,
-                             interpret=interpret, finish_fn=finish)
+    raw_call = _maker(block, sub)(prep, tile, own_cols=ITER_COLS,
+                                  slab_cols=ITER_COLS, n_outputs=1,
+                                  block=block, ccol=ccol, n_blocks=n_blocks,
+                                  interpret=interpret, finish_fn=finish)
+    if raw:
+        return raw_call
 
     def call(tables, own_pack, slab_pack):
-        s = raw(tables, own_pack, slab_pack)
+        s = raw_call(tables, own_pack, slab_pack)
         return c_rho * jnp.maximum((s - self3) * inv_h6, 1.0)
 
     return call
