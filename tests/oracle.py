@@ -183,8 +183,116 @@ def integrate(pos, vel, ptype, normal, a_ext, a_p, nbrs, p):
     return out_pos, out_vel
 
 
-def full_step(pos, vel, ptype, normal, p, springs=None, activation=None):
-    """One complete step (no membranes); returns (pos, vel, diag dict)."""
+def _project_to_plane(ps, pa, pb, pc):
+    """sphFluid.cl:1250-1308 calculateProjectionOfPointToPlane — Cramer
+    solve of [n; ab; ac] x = [n.pa; ab.ps; ac.ps] where n = ab x ac.
+    Returns (proj, ok); ok=False when the determinant is exactly zero
+    (degenerate triangle — the reference printf's and RETURNS, aborting
+    the whole particle's membrane pass)."""
+    ab = pb - pa
+    ac = pc - pa
+    n = np.cross(ab, ac)
+    A = np.stack([n, ab, ac])
+    b = np.array([float(n @ pa), float(ab @ ps), float(ac @ ps)])
+    det = np.linalg.det(A)
+    if det == 0.0:
+        return ps, False
+    return np.linalg.solve(A, b), True
+
+
+def membrane_interaction(pos_new, ptype, nbrs, tris, particle_tris, p,
+                         z_zeroed=True, abort_on_degenerate=True):
+    """sphFluid.cl:1369-1682 (LIVE path only) — post-integration membrane
+    position correction for liquid particles.
+
+    Transcribed semantics (the commented-out blocks — the in-triangle
+    test cl:1513-1533, the membrane-side back-reaction cl:1617-1637, the
+    velocity averaging cl:1610-1615 — are dead code and excluded):
+      * only LIQUID rows interact (cl:1393-1395); geometry is read from
+        the CURRENT (post-integrate) positions while the neighbor list is
+        the one built at step start (cl:1428 neighborMap);
+      * per elastic neighbor jd: average of normalize(x_i - proj(x_i))
+        over jd's valid membrane triangles (cl:1466-1546), where proj is
+        the Cramer plane projection;
+      * the particle-to-neighbor DISTANCE zeroes the z component first
+        (cl:1439-1440 "mv change from subscripting" — pass
+        ``z_zeroed=False`` for the engine's documented 3D-distance
+        deviation);
+      * Ihmsen position projection (cl:1576-1605): w = max(0,(r0-d)/r0),
+        delta = normalize(sum n_jd w) * sum(w (r0-d)) / sum(w);
+      * degenerate triangles / exactly-in-plane particles make the
+        reference RETURN for that particle (cl:1468-1472, 1501-1505) —
+        pass ``abort_on_degenerate=False`` for the engine's documented
+        masking deviation.
+
+    nbrs: step-start neighbor lists (exact_neighbors). tris: [M,3] global
+    particle ids. particle_tris: [n,slots] triangle ids per particle
+    (-1-terminated, reference particleMembranesList). Returns positions.
+    """
+    out = pos_new.copy().astype(np.float64)
+    pos = pos_new.astype(np.float64)
+    r0 = p.r0
+    for i in range(len(pos)):
+        if ptype[i] != LIQUID:
+            continue
+        entries = []  # (n_avg, dist)
+        aborted = False
+        for jd, _ in nbrs[i]:
+            if ptype[jd] != ELASTIC:
+                continue
+            v = pos[i] - pos[jd]
+            if z_zeroed:
+                v = v.copy()
+                v[2] = 0.0
+            dist = float(np.sqrt(v @ v))
+            n_sum = np.zeros(3)
+            ijk = 0
+            for t in particle_tris[jd]:
+                if t < 0:
+                    break  # reference list is -1-terminated (else break)
+                a, b, c = (pos[v_] for v_ in tris[t])
+                proj, ok = _project_to_plane(pos[i], a, b, c)
+                if not ok:
+                    if abort_on_degenerate:
+                        aborted = True
+                        break
+                    continue
+                nvec = pos[i] - proj
+                ln = float(np.linalg.norm(nvec))
+                if ln > 0.0:
+                    n_sum += nvec / ln
+                    ijk += 1
+                elif abort_on_degenerate:
+                    # cl:1501-1505 "error #001" return
+                    aborted = True
+                    break
+            if aborted:
+                break
+            if ijk > 0:
+                entries.append((n_sum / ijk, dist))
+        if aborted or not entries:
+            continue
+        n_ci = np.zeros(3)
+        w_sum = 0.0
+        w2_sum = 0.0
+        for n_m, dist in entries:
+            w = max(0.0, (r0 - dist) / r0)
+            n_ci += n_m * w
+            w_sum += w
+            w2_sum += w * (r0 - dist)
+        ln2 = float(n_ci @ n_ci)
+        if ln2 != 0.0:
+            out[i] = out[i] + (n_ci / np.sqrt(ln2)) * w2_sum / w_sum
+    return out
+
+
+def full_step(pos, vel, ptype, normal, p, springs=None, activation=None,
+              membranes=None, **mem_kw):
+    """One complete step; returns (pos, vel, diag dict).
+
+    membranes: optional (tris, particle_tris) — applied AFTER integration
+    on the updated positions with the step-start neighbor lists
+    (reference stage order, owPhysicsFluidSimulator.cpp:108-113)."""
     pos = pos.astype(np.float64)
     vel = vel.astype(np.float64)
     nbrs = exact_neighbors(pos, p.h, p.max_neighbors)
@@ -197,6 +305,11 @@ def full_step(pos, vel, ptype, normal, p, springs=None, activation=None):
         )
     pr, a_p = pcisph_loop(pos, vel, ptype, nbrs, p)
     new_pos, new_vel = integrate(pos, vel, ptype, normal, a_ext, a_p, nbrs, p)
+    if membranes is not None:
+        tris, particle_tris = membranes
+        new_pos = membrane_interaction(
+            new_pos, ptype, nbrs, tris, particle_tris, p, **mem_kw
+        )
     return new_pos, new_vel, dict(
         rho=rho, a_ext=a_ext, pressure=pr, a_p=a_p, nbrs=nbrs
     )
