@@ -4,6 +4,7 @@ from .halo import (
     make_halo_fast_multi_step,
     make_halo_session,
     measure_halo_pad,
+    measure_migration_pad,
 )
 
 __all__ = [
@@ -15,5 +16,6 @@ __all__ = [
     "make_halo_fast_multi_step",
     "make_halo_session",
     "measure_halo_pad",
+    "measure_migration_pad",
     "shard_state",
 ]

@@ -78,6 +78,33 @@ def measure_halo_pad(pos, params: SimParams, cfg: F.FastConfig,
     return max(ALIGN, -(-need // ALIGN) * ALIGN)
 
 
+def measure_migration_pad(pos, params: SimParams, cfg: F.FastConfig,
+                          margin: float = 1.5) -> int:
+    """Scene-measured migration buffer size (rows per direction per
+    resort) for the distributed resort, mirroring :func:`measure_halo_pad`.
+
+    Rows migrate when their global sorted rank crosses a device boundary
+    between resorts. With the per-period pair-approach drift bound held
+    under h (the ``window_drift_h`` diagnostic warns at 0.25 h), a row's
+    CELL can change by at most one cell row, so every migrant was within
+    the two z cell-rows straddling the boundary at the previous resort;
+    rank shifts induced by *other* rows' cell changes are bounded by the
+    same two-row population. The densest two consecutive z-rows of the
+    scene times ``margin`` therefore bound the per-direction migration;
+    violations (e.g. drift >= h dynamics) are loudly surfaced — and the
+    overflowing rows dropped — via ``diag["resort_overflow"]``."""
+    cell = params.h
+    nz = cfg.dims[2]
+    zrow = np.clip(
+        (np.asarray(pos)[:, 2] - params.z_min) / cell, 0, nz - 1
+    ).astype(np.int64)
+    counts = np.bincount(zrow, minlength=nz)
+    two_row = int((counts[:-1] + counts[1:]).max()) if nz > 1 else int(
+        counts.max())
+    need = int(margin * two_row)
+    return max(ALIGN, -(-need // ALIGN) * ALIGN)
+
+
 def make_halo_fast_multi_step(
     mesh: Mesh,
     params: SimParams,
@@ -86,6 +113,7 @@ def make_halo_fast_multi_step(
     n_steps: int = 1,
     halo_pad: int | None = None,
     distributed_resort: bool = False,
+    mig_cap: int | None = None,
     _session: bool = False,
 ):
     """Jitted run(state, springs, membranes) -> (state, diag) with
@@ -831,7 +859,11 @@ def make_halo_fast_multi_step(
     # is materialized only at the jitted call's entry/exit.
     npen = cfg.n_pencils
     n_cells = ny * npen
-    mig_cap = halo_pad
+    if mig_cap is None:
+        # size with measure_migration_pad for a scene-derived bound;
+        # halo_pad (>= the same two-z-row population + ccol) is a safe
+        # default — overruns drop rows and are surfaced loudly
+        mig_cap = halo_pad
 
     def _pencil_cid_of(x, y, z):
         cell = jnp.float32(1.0 / params.h)

@@ -307,3 +307,59 @@ def test_mesh2_two_level(n_dev):
         state, springs, membranes)
     err = float(np.abs(np.asarray(out.pos) - np.asarray(ref.pos)).max())
     assert err <= 5e-5, err
+
+
+def test_migration_overflow_detected(n_dev):
+    """The distributed resort must COUNT dropped rows (VERDICT r4 #6):
+    bulk-advect the whole box by ~a cell per step so the first resort
+    migrates far more rows than a deliberately tiny mig_cap can carry —
+    diag["resort_overflow"] must come back nonzero (physics sanity is
+    irrelevant here; only the loss accounting is under test)."""
+    import dataclasses
+
+    params = SimParams(x_max=6 * H, y_max=6 * H, z_max=60 * H)
+    scene = generate_liquid_box_scene(params, fill_fraction=0.5)
+    block = 128
+    scene = pad_scene_to_devices(scene, n_dev * block)
+    state, springs, membranes = scene.device_state()
+    # ~one cell of z-advection per step: every slab's boundary region
+    # crosses a rank boundary at the first resort
+    pos_dt = params.time_step * params.simulation_scale_inv
+    vz = H / pos_dt
+    state = dataclasses.replace(
+        state, vel=state.vel + np.array([0, 0, vz], np.float32))
+    layout = scene.layout()
+    cfg = compute_fast_config(
+        scene.pos, params, block=block, resort_every=2)
+    mesh = make_mesh(n_dev)
+    run = make_halo_fast_multi_step(
+        mesh, params, layout, cfg, n_steps=4, halo_pad=512,
+        distributed_resort=True, mig_cap=128,
+    )
+    _, diag = run(shard_state(state, mesh), springs, membranes)
+    assert int(diag["resort_overflow"]) > 0
+
+
+def test_particle_loss_is_loud(n_dev, caplog):
+    """Dropped particles must produce an ERROR at the Simulator run site,
+    not only a pollable diagnostic (VERDICT r4 #6)."""
+    import logging
+
+    import jax.numpy as jnp
+
+    from sph_tpu.runtime import Simulator
+
+    params = SimParams(x_max=6 * H, y_max=6 * H, z_max=60 * H)
+    scene = generate_liquid_box_scene(params, fill_fraction=0.5)
+    sim = Simulator(scene, params, engine="halo", distributed_resort=True)
+    # seed the lazy accumulator the halo run wrapper max-accumulates into:
+    # equivalent to a chunk having reported this overflow
+    sim._resort_overflow = jnp.asarray(7)
+    with caplog.at_level(logging.ERROR, logger="sph_tpu"):
+        sim.step(1)
+    assert any(
+        r.levelno == logging.ERROR and "DROPPED" in r.getMessage()
+        for r in caplog.records
+    ), caplog.records
+    # check_overflow still reports (and resets) the same accumulator
+    assert sim.check_overflow()["resort_overflow"] >= 7
