@@ -174,7 +174,22 @@ def gate_box_equivalence(params, sub=None):
     log(f"# GATE box fast-vs-exact ({len(pos)} particles, 10 steps, "
         f"compiled, sub={sub}): max|dpos|={d:.2e} -> "
         f"{'PASS' if ok else 'FAIL'}")
-    return ok
+    # stale-window gate (VERDICT r4 #7): the published number ships
+    # resort_every=30, but until now nothing recurring exercised the
+    # stale-window machinery (cached window tables, nested-scan reuse) —
+    # a window-table bug at resort_every>1 would only surface in one-off
+    # A/B scripts. resort_every=3 over the same 10 steps must stay within
+    # the measured staleness envelope: the r3 A/B table puts 10 fully
+    # stale steps on this free-fall box at 7.0e-3 max |dpos|, so 3-step
+    # windows sit well under 5e-3; a machinery bug lands orders beyond.
+    cfg3 = dataclasses.replace(cfg, resort_every=3)
+    fast3 = make_fast_multi_step(p, layout, cfg3, 10)(state, springs,
+                                                      membranes)
+    d3 = float(jnp.max(jnp.abs(fast3.pos - ref.pos)))
+    ok3 = bool(np.isfinite(d3)) and d3 <= 5e-3
+    log(f"# GATE box stale-window (resort_every=3, 10 steps, compiled): "
+        f"max|dpos|={d3:.2e} -> {'PASS' if ok3 else 'FAIL'}")
+    return ok and ok3
 
 
 def gate_worm_integrity(scene, params, state):
@@ -386,7 +401,10 @@ def main() -> int:
         if not gate_ok:
             log("# PHYSICS GATE FAILED — metric zeroed")
             pps = 0.0
-        emit(pps)
+        # compile_s is a first-class field (VERDICT r4 #8): compile cost
+        # on this 1-core host is a fragile tax on every campaign; track
+        # it round-over-round next to the throughput number
+        emit(pps, compile_s=round(compile_s, 1))
         return 0
     except Exception as e:
         traceback.print_exc(file=sys.stderr)

@@ -66,7 +66,7 @@ def run_arm(arm, args):
         # Written atomically (ADVICE r4: a crash mid-write must not leave
         # a truncated npz that poisons the rerun); vel/step/sched ride
         # along so a rerun can TRULY resume from the last chunk.
-        tmp = partial + ".tmp"
+        tmp = partial + ".tmp.npz"  # savez appends .npz to other names
         np.savez_compressed(
             tmp, traj=np.stack(out),
             checkpoints=np.asarray(checkpoints[:len(out)]),
