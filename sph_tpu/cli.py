@@ -97,6 +97,7 @@ def cmd_run(args) -> int:
     if args.checkpoint:
         sim.save(args.checkpoint)
         print(f"checkpoint -> {args.checkpoint}")
+    sim.flush()  # drain the async trajectory stream before exit
     return 0
 
 

@@ -42,7 +42,12 @@ def save_checkpoint(
         payload["color"] = np.asarray(color)
     for k, v in (extra or {}).items():
         payload[f"extra_{k}"] = np.asarray(v)
-    np.savez_compressed(path, **payload)
+    # atomic: a crash mid-write (or a kill while the async IO thread is
+    # saving) can never leave a truncated archive at the target path
+    from .async_io import save_npz_atomic
+
+    save_npz_atomic(path if path.endswith(".npz") else path + ".npz",
+                    **payload)
 
 
 def load_checkpoint(path: str):

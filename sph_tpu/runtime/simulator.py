@@ -39,19 +39,26 @@ class Simulator:
         dump_dir: str | None = None,
         dump_interval: int = 10,
         log=None,
-        engine: str = "exact",
+        engine: str = "auto",
         adaptive_resort: bool = False,
         drift_threshold_h: float = 0.25,
         distributed_resort: bool = False,
         fast_config: dict | None = None,
+        async_io: bool = True,
     ):
-        """engine: "exact" = neighbor-list engine (reference 32-cap
-        semantics); "fast" = blocked Pallas pair engine (all pairs within h,
-        see core/fast.py); "halo" = the fast engine sharded over all
-        visible devices with ppermute halo exchange (parallel/halo.py;
-        pads the scene to the device grid); "auto" = fast on a TPU
-        backend, exact otherwise (the fast engine's Pallas kernels only
-        run interpreted on CPU).
+        """engine: "auto" (default) = fast on a TPU backend, exact
+        otherwise (the fast engine's Pallas kernels only run interpreted
+        on CPU); "exact" = neighbor-list engine (reference 32-cap
+        semantics — explicit opt-in for validation work: ~250x slower
+        than fast at worm scale on a real chip, VERDICT r4); "fast" =
+        blocked Pallas pair engine (all pairs within h, see core/fast.py);
+        "halo" = the fast engine sharded over all visible devices with
+        ppermute halo exchange (parallel/halo.py; pads the scene to the
+        device grid); "fastw" = the wall-compact fast engine
+        (core/fastw.py): static boundary walls leave the hot carry and
+        only a thin live shell of them is recomputed per step —
+        preferred on wall-heavy scenes (44% of the worm is frozen wall);
+        requires elastic-only spring anchors.
 
         adaptive_resort (fast/halo engines): resort EARLY when the
         in-scan window-staleness bound crosses ``drift_threshold_h``
@@ -69,7 +76,14 @@ class Simulator:
         fast_config (fast/halo engines): keyword overrides forwarded to
         ``compute_fast_config`` (block/ccol/ccol_c/resort_every/sub) —
         the r4 chip-tuned worm config is
-        ``{"ccol": 512, "ccol_c": 256}`` (results/r4/best_config.json)."""
+        ``{"ccol": 512, "ccol_c": 256}`` (results/r4/best_config.json).
+
+        async_io (default True): trajectory frames and non-blocking
+        checkpoints are written by a side IO thread (runtime/async_io.py,
+        SURVEY §5) — the device->host transfer and the host-side
+        formatting overlap the next chunk's dispatch. ``flush()`` drains
+        pending writes; ``step``/``save`` re-raise any IO error from the
+        worker. False = reference-style synchronous writes."""
         self.params = params or SimParams()
         fck = dict(fast_config or {})
         if engine == "auto":
@@ -116,6 +130,13 @@ class Simulator:
             # one compiled graph covers any multiple of this chunk; align
             # with the resort period so each chunk re-sorts exactly once
             self._fast_chunk = max(1, self._fast_cfg.resort_every)
+        elif engine == "fastw":
+            from ..core.fastw import compute_fastw_config
+
+            self._fast_cfg = compute_fastw_config(
+                scene.pos, self.params, self.layout, ptype=scene.ptype,
+                **fck)
+            self._fast_chunk = max(1, self._fast_cfg.resort_every)
         elif engine == "exact":
             # Scene-derived cell capacity: the default silently truncates
             # neighbor candidates on dense scenes (reference failure mode,
@@ -129,7 +150,8 @@ class Simulator:
                 )
         else:
             raise ValueError(f"unknown engine {engine!r}")
-        self._adaptive = adaptive_resort and engine in ("fast", "halo")
+        self._adaptive = adaptive_resort and engine in ("fast", "fastw",
+                                                        "halo")
         self._drift_threshold_h = float(drift_threshold_h)
         if self._adaptive:
             base = self._fast_chunk
@@ -142,8 +164,16 @@ class Simulator:
             TrajectoryDumper(dump_dir, scene) if dump_dir else None
         )
         self.dump_interval = dump_interval
+        self._writer = None
+        if async_io:
+            from .async_io import AsyncWriter
+
+            self._writer = AsyncWriter()
         if self._dumper:
-            self._dumper.append(np.asarray(self.state.pos))
+            if self._writer:
+                self._writer.submit(self._dumper.append, self.state.pos)
+            else:
+                self._dumper.append(np.asarray(self.state.pos))
 
     # ------------------------------------------------------------------
     # stepping
@@ -157,7 +187,8 @@ class Simulator:
         if n not in self._fast_runs:
             if self.engine == "halo":
                 from ..parallel import (
-                    make_halo_fast_multi_step, measure_halo_pad)
+                    make_halo_fast_multi_step, measure_halo_pad,
+                    measure_migration_pad)
 
                 # scene-measured halo band (clamped to per-device rows;
                 # halo_overflow still surfaces any resort-time violation)
@@ -174,6 +205,11 @@ class Simulator:
                     self._mesh, self.params, self.layout, self._fast_cfg, n,
                     halo_pad=pad,
                     distributed_resort=self._distributed_resort,
+                    mig_cap=min(
+                        measure_migration_pad(
+                            self.scene.pos, self.params, self._fast_cfg),
+                        per_dev,
+                    ) if self._distributed_resort else None,
                 )
 
                 def run(state, springs, membranes, _h=halo_run):
@@ -192,6 +228,27 @@ class Simulator:
                             jax.numpy.asarray(diag["resort_overflow"]),
                             jax.numpy.asarray(prev_r),
                         )
+                    self._track_drift(diag["window_drift"])
+                    return out
+
+                self._fast_runs[n] = run
+            elif self.engine == "fastw":
+                from ..core.fastw import make_fastw_multi_step
+
+                fw_run = make_fastw_multi_step(
+                    self.params, self.layout, self._fast_cfg, n,
+                    return_diag=True,
+                )
+
+                def run(state, springs, membranes, _f=fw_run):
+                    out, diag = _f(state, springs, membranes)
+                    # lazy device max across chunk calls, no host sync
+                    # (mirrors the halo engine's overflow accumulators)
+                    for k in ("shell_overflow", "tile_overflow"):
+                        prev = getattr(self, "_" + k, 0)
+                        setattr(self, "_" + k, jax.numpy.maximum(
+                            jax.numpy.asarray(diag[k]),
+                            jax.numpy.asarray(prev)))
                     self._track_drift(diag["window_drift"])
                     return out
 
@@ -225,7 +282,7 @@ class Simulator:
         self._last_drift = drift  # lazy; adaptive resort syncs it
 
     def _run(self, n: int):
-        if self.engine in ("fast", "halo"):
+        if self.engine in ("fast", "fastw", "halo"):
             # compile at most two graphs (a chunk-sized scan + a
             # single-step) regardless of how n varies across calls —
             # round-1 keyed a fresh ~minute-long compile on every distinct
@@ -261,6 +318,43 @@ class Simulator:
                         # the bound; only step up when even 2x stays
                         # clearly under the threshold
                         self._fast_chunk = lv[i - 1]
+            if self.engine == "halo":
+                # particle LOSS must be loud at the run site, not only in
+                # a pollable diagnostic (VERDICT r4 #6): the distributed
+                # resort drops rows that overrun its fixed-capacity
+                # migration buffers, and clipped halo windows drop pairs.
+                # One scalar host sync per user-level run; check_overflow
+                # still reports (and resets) the same accumulators.
+                ovf_r = int(jax.numpy.asarray(
+                    getattr(self, "_resort_overflow", 0)))
+                if ovf_r:
+                    logger.error(
+                        "distributed resort DROPPED %d particle(s) by step"
+                        " %d (migration buffers overran mig_cap) — mass is"
+                        " lost; raise mig_cap (see measure_migration_pad) "
+                        "or lower resort_every", ovf_r, int(state.step),
+                    )
+                ovf_h = int(jax.numpy.asarray(
+                    getattr(self, "_halo_overflow", 0)))
+                if ovf_h:
+                    logger.error(
+                        "halo windows clipped %d row(s) by step %d — "
+                        "pairs are being dropped; raise halo_pad (see "
+                        "measure_halo_pad)", ovf_h, int(state.step),
+                    )
+            if self.engine == "fastw":
+                # shell overflow = moving-wall pairs DROPPED (wrong
+                # forces near the wall with no other signal) — loud at
+                # the run site, same rule as halo particle loss
+                ovf_s = int(jax.numpy.asarray(
+                    getattr(self, "_shell_overflow", 0)))
+                if ovf_s:
+                    logger.error(
+                        "fastw shell overflowed by %d wall row(s) by step"
+                        " %d — moving-wall pairs are being dropped; raise"
+                        " shell_margin/dilate in compute_fastw_config",
+                        ovf_s, int(state.step),
+                    )
             return state
         return multi_step(self.state, self.springs, self.membranes,
                           self.params, self.layout, n)
@@ -284,9 +378,15 @@ class Simulator:
             self.state = self._run(upto)
             done += upto
             if self.step_count % self.dump_interval == 0:
-                pos = np.asarray(self.state.pos)
-                self._dumper.append(pos)
-                self.check_overflow(pos)
+                if self._writer is not None:
+                    # frame write (transfer + text formatting) overlaps
+                    # the next chunk's dispatch on the IO thread
+                    self._writer.submit(self._dumper.append, self.state.pos)
+                    self.check_overflow()
+                else:
+                    pos = np.asarray(self.state.pos)
+                    self._dumper.append(pos)
+                    self.check_overflow(pos)
 
     def check_overflow(self, pos: np.ndarray | None = None) -> dict:
         """Host-side capacity diagnostics at the current positions; warns on
@@ -316,6 +416,14 @@ class Simulator:
                     getattr(self, "_resort_overflow", 0)
                 )
                 self._resort_overflow = 0
+        if self.engine == "fastw":
+            # read-and-reset (in-jit accumulated): shell = dropped
+            # moving-wall pairs; tile = dropped pair tiles across the
+            # engine's four window-table sets
+            out["shell_overflow"] = int(getattr(self, "_shell_overflow", 0))
+            self._shell_overflow = 0
+            out["tile_overflow"] = int(getattr(self, "_tile_overflow", 0))
+            self._tile_overflow = 0
         bad = {k: v for k, v in out.items() if v > 0}
         if bad:
             logger.warning(
@@ -340,7 +448,7 @@ class Simulator:
                     " total %d (cap %d) — pair tiles are being dropped",
                     self.step_count, tmax, smax, ttot, cap,
                 )
-        if self.engine in ("fast", "halo"):
+        if self.engine in ("fast", "fastw", "halo"):
             # worst per-resort-period PAIR-APPROACH bound since the last
             # check, in units of h: 2x the in-scan sum of per-step max
             # Euclidean displacements (two particles can converge at twice
@@ -428,11 +536,27 @@ class Simulator:
     # checkpoint / resume
     # ------------------------------------------------------------------
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, wait: bool = True) -> None:
+        """Checkpoint the full state (atomic write). ``wait=False`` hands
+        the save to the async IO thread (requires ``async_io=True``):
+        the device->host transfer and npz compression overlap further
+        stepping; call :meth:`flush` before reading the file."""
+        if not wait and self._writer is not None:
+            self._writer.submit(
+                save_checkpoint, path, self.state, self.springs,
+                self.membranes, color=self.scene.color,
+            )
+            return
         save_checkpoint(
             path, self.state, self.springs, self.membranes,
             color=self.scene.color,
         )
+
+    def flush(self) -> None:
+        """Drain pending async trajectory/checkpoint writes (re-raises
+        any IO error from the worker thread)."""
+        if self._writer is not None:
+            self._writer.flush()
 
     def restore(self, path: str) -> None:
         state, springs, membranes, color = load_checkpoint(path)

@@ -29,11 +29,58 @@ def test_simulator_step_and_getters(tmp_path):
     d = sim.get_diagnostics()
     assert d["neighbor_count"].max() <= 32
     assert int(d["cell_overflow"]) == 0
-    # dump frames at steps 0, 5, 10 (interval boundaries crossed)
+    # dump frames at steps 0, 5, 10 (interval boundaries crossed);
+    # flush() drains the async IO stream before reading the file
     from sph_tpu.scene.io import load_trajectory
 
+    sim.flush()
     _, _, frames = load_trajectory(str(tmp_path / "position_buffer.txt"))
     assert len(frames) == 3
+
+
+def test_async_dump_matches_sync(tmp_path):
+    """The async trajectory stream (runtime/async_io.py) must produce a
+    byte-identical dump to the synchronous path, and an async checkpoint
+    must restore bit-exact."""
+    scene, params = box_scene()
+    a = Simulator(scene, params, dump_dir=str(tmp_path / "a"),
+                  dump_interval=4, async_io=True)
+    b = Simulator(scene, params, dump_dir=str(tmp_path / "b"),
+                  dump_interval=4, async_io=False)
+    a.step(8)
+    b.step(8)
+    ck = str(tmp_path / "ck.npz")
+    a.save(ck, wait=False)
+    a.flush()
+    pa = open(tmp_path / "a" / "position_buffer.txt", "rb").read()
+    pb = open(tmp_path / "b" / "position_buffer.txt", "rb").read()
+    assert pa == pb and len(pa) > 0
+    c = Simulator(scene, params, async_io=False)
+    c.restore(ck)
+    assert c.step_count == 8
+    np.testing.assert_array_equal(c.get_position(), a.get_position())
+
+
+def test_async_io_error_is_raised(tmp_path):
+    """A worker-thread IO failure must surface on flush, not vanish."""
+    import pytest
+
+    from sph_tpu.runtime.async_io import AsyncWriter
+
+    w = AsyncWriter()
+
+    def boom(_):
+        raise OSError("disk full")
+
+    w.submit(boom, np.zeros(3))
+    with pytest.raises(RuntimeError, match="async IO"):
+        w.flush()
+    # the writer recovers for subsequent writes
+    seen = []
+    w.submit(seen.append, np.arange(4.0))
+    w.flush()
+    assert len(seen) == 1 and seen[0].shape == (4,)
+    w.close()
 
 
 def test_checkpoint_resume_exact(tmp_path):
