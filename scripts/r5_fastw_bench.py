@@ -132,10 +132,11 @@ def main():
 
     end_f = time_arm("fast", build_fast)
     end_w = time_arm("fastw", build_fastw)
-    for k, v in list(fastw_diag.items()):
-        fastw_diag[k] = int(np.asarray(v))
-    print(f"fastw overflow: {fastw_diag}", flush=True)
-    rec["fastw_overflow"] = fastw_diag
+    # snapshot as plain ints: the integrity continuation below re-invokes
+    # the fastw run and would mutate the live diag dict back to arrays
+    ovf = {k: int(np.asarray(v)) for k, v in fastw_diag.items()}
+    print(f"fastw overflow: {ovf}", flush=True)
+    rec["fastw_overflow"] = ovf
 
     # --- precision A/B: 10 steps, fresh windows ----------------------
     cfg_f1 = dataclasses.replace(
