@@ -130,8 +130,11 @@ def _is_backend_death(exc: BaseException) -> bool:
     ))
 
 
-def gate_box_equivalence(params, sub=None):
-    """Fast vs exact engines, both COMPILED on the current device.
+def gate_box_equivalence(params, sub=None, engine="fast"):
+    """Measured engine vs exact engine, both COMPILED on the current
+    device (engine="fastw" gates the wall-compact engine instead — same
+    box, same thresholds: its split column passes differ from fast by
+    f32 reassociation only).
 
     resort_every=1 so the pair windows are fresh every step: the exact
     engine rebuilds neighbor lists per step, so only the fresh-window
@@ -165,13 +168,26 @@ def gate_box_equivalence(params, sub=None):
     state, springs, membranes = scene.device_state()
     layout = scene.layout()
     ref = multi_step(state, springs, membranes, p, layout, 10)
-    cfg = dataclasses.replace(
-        compute_fast_config(scene.pos, p, sub=sub), resort_every=1)
-    fast = make_fast_multi_step(p, layout, cfg, 10)(state, springs,
-                                                    membranes)
+    if engine == "fastw":
+        from sph_tpu.core.fastw import (
+            compute_fastw_config, make_fastw_multi_step)
+
+        def build(r_every):
+            cfg = dataclasses.replace(
+                compute_fastw_config(scene.pos, p, layout,
+                                     ptype=scene.ptype),
+                resort_every=r_every)
+            return make_fastw_multi_step(p, layout, cfg, 10)
+    else:
+        def build(r_every):
+            cfg = dataclasses.replace(
+                compute_fast_config(scene.pos, p, sub=sub),
+                resort_every=r_every)
+            return make_fast_multi_step(p, layout, cfg, 10)
+    fast = build(1)(state, springs, membranes)
     d = float(jnp.max(jnp.abs(fast.pos - ref.pos)))
     ok = bool(np.isfinite(d)) and d <= 1e-4
-    log(f"# GATE box fast-vs-exact ({len(pos)} particles, 10 steps, "
+    log(f"# GATE box {engine}-vs-exact ({len(pos)} particles, 10 steps, "
         f"compiled, sub={sub}): max|dpos|={d:.2e} -> "
         f"{'PASS' if ok else 'FAIL'}")
     # stale-window gate (VERDICT r4 #7): the published number ships
@@ -182,9 +198,7 @@ def gate_box_equivalence(params, sub=None):
     # the measured staleness envelope: the r3 A/B table puts 10 fully
     # stale steps on this free-fall box at 7.0e-3 max |dpos|, so 3-step
     # windows sit well under 5e-3; a machinery bug lands orders beyond.
-    cfg3 = dataclasses.replace(cfg, resort_every=3)
-    fast3 = make_fast_multi_step(p, layout, cfg3, 10)(state, springs,
-                                                      membranes)
+    fast3 = build(3)(state, springs, membranes)
     d3 = float(jnp.max(jnp.abs(fast3.pos - ref.pos)))
     ok3 = bool(np.isfinite(d3)) and d3 <= 5e-3
     log(f"# GATE box stale-window (resort_every=3, 10 steps, compiled): "
@@ -232,7 +246,18 @@ def run_engine(engine, scene, params, chunk, budget_s, sub=None,
 
     state, springs, membranes = scene.device_state()
     layout = scene.layout()
-    if engine == "fast":
+    if engine == "fastw":
+        from sph_tpu.core.fastw import (
+            compute_fastw_config, make_fastw_multi_step)
+
+        cfg = compute_fastw_config(scene.pos, params, layout,
+                                   ptype=scene.ptype, block=block,
+                                   ccol=ccol, ccol_c=ccol_c)
+        run = make_fastw_multi_step(params, layout, cfg, chunk)
+
+        def advance(s):
+            return run(s, springs, membranes)
+    elif engine == "fast":
         cfg = compute_fast_config(scene.pos, params, sub=sub,
                                   block=block, ccol=ccol, ccol_c=ccol_c)
         run = make_fast_multi_step(params, layout, cfg, chunk)
@@ -265,7 +290,7 @@ def run_engine(engine, scene, params, chunk, budget_s, sub=None,
     # graph) — WALL-BOUNDED and fast-engine only: at exact-engine speed
     # (~9 s/step at worm scale) this loop is what hung round 3's fallback
     done = steps + chunk
-    if engine == "fast":
+    if engine in ("fast", "fastw"):
         t_gate = time.time()
         while done < 500 and time.time() - t_gate < 2 * budget_s:
             state = advance(state)
@@ -318,16 +343,24 @@ def main() -> int:
         sub = int(sub_env) if sub_env.isdigit() and int(sub_env) > 0 \
             else None
         block, ccol = 256, 256
-        # on-chip tuned config from scripts/sub_sweep.py, if recorded
-        # (SPH_BENCH_TUNED=0 ignores it; env SPH_BENCH_SUB still wins)
-        tuned_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                  "results", "r4", "best_config.json")
-        if os.environ.get("SPH_BENCH_TUNED", "1") == "1" \
-                and os.path.exists(tuned_path):
+        engine = "fast"
+        ccol_c = None
+        # on-chip tuned config (r5 sweep preferred, r4 fallback) —
+        # SPH_BENCH_TUNED=0 ignores it; env SPH_BENCH_SUB still wins;
+        # SPH_BENCH_ENGINE forces the engine
+        here = os.path.dirname(os.path.abspath(__file__))
+        tuned_paths = [os.path.join(here, "results", "r5",
+                                    "best_config.json"),
+                       os.path.join(here, "results", "r4",
+                                    "best_config.json")]
+        tuned_path = next((p for p in tuned_paths if os.path.exists(p)),
+                          None)
+        if os.environ.get("SPH_BENCH_TUNED", "1") == "1" and tuned_path:
             try:
                 tuned = json.load(open(tuned_path))
                 block = int(tuned.get("block", block))
                 ccol = int(tuned.get("ccol", ccol))
+                engine = str(tuned.get("engine", engine))
                 if "SPH_BENCH_SUB" not in os.environ:
                     sub = tuned.get("sub", sub)
                     sub = int(sub) if sub else None
@@ -336,18 +369,19 @@ def main() -> int:
                 if "depth" in tuned and "SPH_TPU_DMA_DEPTH" not in os.environ:
                     # pair-pass DMA ring depth (read at pass-build time)
                     os.environ["SPH_TPU_DMA_DEPTH"] = str(int(tuned["depth"]))
-                log(f"# tuned config: block={block} ccol={ccol} sub={sub} "
+                log(f"# tuned config ({os.path.basename(os.path.dirname(tuned_path))}): "
+                    f"engine={engine} block={block} ccol={ccol} sub={sub} "
                     f"ccol_c={ccol_c} "
                     f"depth={os.environ.get('SPH_TPU_DMA_DEPTH', '6')}")
             except Exception:
                 log("# ignoring unreadable best_config.json")
-        engine = "fast"
+        engine = os.environ.get("SPH_BENCH_ENGINE", engine)
         try:
             # chunk 30 = one full resort period per call (resort_every
             # default 30; the nested-scan graph compiles like the 10-step
             # one) — the resort machinery amortizes 3x further than chunk 10
             steps, wall, compile_s, end_state = run_engine(
-                "fast", scene, params, 30, 90.0, sub=sub,
+                engine, scene, params, 30, 90.0, sub=sub,
                 block=block, ccol=ccol, ccol_c=ccol_c)
         except Exception as e:
             traceback.print_exc(file=sys.stderr)
@@ -357,12 +391,14 @@ def main() -> int:
                 emit(0.0, reason=reason)
                 return 0
             retried = False
-            if sub is not None:
-                # the gated kernels are the newest Mosaic surface: a
-                # compile failure there must not cost the fast engine
-                log("# fast engine (sub-gated) failed; retrying ungated")
+            if engine == "fastw" or sub is not None:
+                # fall back one rung: fastw -> plain fast (ungated); a
+                # compile/runtime failure on the newest engine must not
+                # cost the whole fast family
+                log(f"# {engine} engine failed; retrying plain fast")
                 try:
                     sub = None
+                    engine = "fast"
                     steps, wall, compile_s, end_state = run_engine(
                         "fast", scene, params, 30, 90.0, sub=None)
                     retried = True
@@ -381,8 +417,9 @@ def main() -> int:
         gate_ok = True
         try:
             gate_ok = gate_worm_integrity(scene, params, end_state) and gate_ok
-            if engine == "fast":
-                gate_ok = gate_box_equivalence(params, sub=sub) and gate_ok
+            if engine in ("fast", "fastw"):
+                gate_ok = gate_box_equivalence(params, sub=sub,
+                                               engine=engine) and gate_ok
         except Exception as e:
             traceback.print_exc(file=sys.stderr)
             if _is_backend_death(e):
@@ -404,7 +441,7 @@ def main() -> int:
         # compile_s is a first-class field (VERDICT r4 #8): compile cost
         # on this 1-core host is a fragile tax on every campaign; track
         # it round-over-round next to the throughput number
-        emit(pps, compile_s=round(compile_s, 1))
+        emit(pps, compile_s=round(compile_s, 1), engine=engine)
         return 0
     except Exception as e:
         traceback.print_exc(file=sys.stderr)
