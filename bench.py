@@ -170,14 +170,18 @@ def gate_box_equivalence(params, sub=None, engine="fast"):
     ref = multi_step(state, springs, membranes, p, layout, 10)
     if engine == "fastw":
         from sph_tpu.core.fastw import (
-            compute_fastw_config, make_fastw_multi_step)
+            compute_fastw_config, make_fastw_multi_step,
+            precompute_wall_static)
 
         def build(r_every):
             cfg = dataclasses.replace(
                 compute_fastw_config(scene.pos, p, layout,
                                      ptype=scene.ptype),
                 resort_every=r_every)
-            return make_fastw_multi_step(p, layout, cfg, 10)
+            return make_fastw_multi_step(
+                p, layout, cfg, 10,
+                wall_static=precompute_wall_static(
+                    scene.pos, scene.normal, p, layout, cfg))
     else:
         def build(r_every):
             cfg = dataclasses.replace(
@@ -248,12 +252,16 @@ def run_engine(engine, scene, params, chunk, budget_s, sub=None,
     layout = scene.layout()
     if engine == "fastw":
         from sph_tpu.core.fastw import (
-            compute_fastw_config, make_fastw_multi_step)
+            compute_fastw_config, make_fastw_multi_step,
+            precompute_wall_static)
 
         cfg = compute_fastw_config(scene.pos, params, layout,
                                    ptype=scene.ptype, block=block,
                                    ccol=ccol, ccol_c=ccol_c)
-        run = make_fastw_multi_step(params, layout, cfg, chunk)
+        run = make_fastw_multi_step(
+            params, layout, cfg, chunk,
+            wall_static=precompute_wall_static(
+                scene.pos, scene.normal, params, layout, cfg))
 
         def advance(s):
             return run(s, springs, membranes)

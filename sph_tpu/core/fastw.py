@@ -76,6 +76,11 @@ class FastWConfig:
     resort_every: int = 30
     ccol_c: int | None = None   # compact (shell/elastic) tile width
     dilate: int = 2     # shell = walls within this cell dilation of moving
+    # lax.scan unroll of the inner step (r5 glue hunt: 28.84 -> 27.44
+    # ms/step at unroll=5 on the worm — amortizes per-iteration fixed
+    # cost and lets XLA fuse step k's carry re-pack into k-1's epilogue).
+    # compute_fastw_config picks 5 on TPU, 1 under interpret (CPU tests).
+    unroll: int = 1
 
     @property
     def ccol_compact(self) -> int:
@@ -168,6 +173,7 @@ def compute_fastw_config(
     dilate: int = 2,
     shell_margin: float = 1.3,
     ptype=None,
+    unroll: int | None = None,
 ) -> FastWConfig:
     """Static shapes: moving-row blocks from the layout's class ranges,
     shell capacity measured from the initial positions (overflow at run
@@ -202,6 +208,60 @@ def compute_fastw_config(
         n_blocks=nb, n_blocks_s=cap // block, block=block, ccol=ccol,
         dims=(nx, ny, nz), interpret=interpret,
         resort_every=resort_every, ccol_c=ccol_c, dilate=dilate,
+        unroll=(1 if interpret else 5) if unroll is None else unroll,
+    )
+
+
+def precompute_wall_static(pos, normal, params: SimParams,
+                           layout: SceneLayout, cfg: FastWConfig):
+    """Host-side wall constants (round 5): walls never move
+    (`owHelper.cpp:775-928` generates them once, `sphFluid.cl:616-622`
+    freezes them), so their cell sort AND their mutual t^3 density sums
+    are simulation invariants — hoisted out of every resort. Replaces,
+    inside ``sort_ctx``: the 101k-row wall argsort + 6 gathers, the
+    wall-prefix searchsorted, the shell-rows x wall-cols ``raw_sw`` pair
+    pass, and its window tables. The mutual sums are computed in f64
+    (cKDTree within-h pairs) and cast once — strictly tighter than the
+    f32 on-chip reduction they replace.
+
+    Returns None when the scene has no walls."""
+    wall_lo, wall_hi = cfg.wall_lo, cfg.wall_hi
+    if wall_hi <= wall_lo:
+        return None
+    nx, ny, nz = cfg.dims
+    pw = np.asarray(pos, np.float32)[wall_lo:wall_hi]
+    nw = np.asarray(normal, np.float32)[wall_lo:wall_hi]
+    # mirror _cells in f32 so cell assignment matches the in-jit path
+    cell = np.float32(1.0 / params.h)
+    lo = np.asarray(params.box_min, np.float32)
+    c = np.clip(((pw - lo) * cell).astype(np.int32), 0,
+                np.array([nx, ny, nz], np.int32) - 1)
+    pencil = c[:, 0] + nx * c[:, 2]
+    cid = c[:, 1] + ny * pencil
+    order = np.argsort(cid, kind="stable")
+    ps, nss = pw[order], nw[order]
+
+    from scipy.spatial import cKDTree
+
+    h2 = np.float64(params.h) ** 2
+    tree = cKDTree(ps.astype(np.float64))
+    pairs = tree.query_pairs(r=float(params.h), output_type="ndarray")
+    ww = np.zeros(len(ps), np.float64)
+    if len(pairs):
+        d2 = np.sum(
+            (ps[pairs[:, 0]].astype(np.float64)
+             - ps[pairs[:, 1]].astype(np.float64)) ** 2, axis=1)
+        t3 = np.maximum(h2 - d2, 0.0) ** 3
+        np.add.at(ww, pairs[:, 0], t3)
+        np.add.at(ww, pairs[:, 1], t3)
+    return dict(
+        x=jnp.asarray(ps[:, 0]), y=jnp.asarray(ps[:, 1]),
+        z=jnp.asarray(ps[:, 2]),
+        nx=jnp.asarray(nss[:, 0]), ny=jnp.asarray(nss[:, 1]),
+        nz=jnp.asarray(nss[:, 2]),
+        pencil=jnp.asarray(pencil[order].astype(np.int32)),
+        cid=jnp.asarray(cid[order].astype(np.int32)),
+        ww=jnp.asarray(ww.astype(np.float32)),
     )
 
 
@@ -281,12 +341,19 @@ def _pad_to(a, width, fill=0.0):
 
 
 def _make_step_parts_w(params: SimParams, layout: SceneLayout,
-                       cfg: FastWConfig):
+                       cfg: FastWConfig, wall_static=None):
     """Build (sort_ctx, carry_of, inner_step, unsort_state) — the
     wall-compact analog of core.fast._make_step_parts. Same stage order
     and physics (sphFluid.cl stage sequence via core/step.py); moving
     rows only in the carry, shell walls recomputed per step, deep walls
-    absent."""
+    absent.
+
+    ``wall_static``: optional ``precompute_wall_static`` result. When
+    given, the per-resort wall argsort/gathers/searchsorted and the
+    shell x wall ``raw_sw`` density pass are replaced by constant-table
+    lookups (walls never move). When None the original in-jit path runs
+    (kept for callers without host positions; the two paths differ only
+    by f32 summation order of the wall-wall sums)."""
     if layout.n_elastic > 0:
         assert layout.springs_elastic_only, (
             "fastw requires elastic-only spring anchors (wall rows are "
@@ -403,19 +470,23 @@ def _make_step_parts_w(params: SimParams, layout: SceneLayout,
 
         # ---- wall sort + shell selection ----
         if n_wall > 0:
-            pw = jax.tree.map(lambda a: a[wall_ids], pos)
-            nw = jax.tree.map(lambda a: a[wall_ids], nrm)
-            pencil_w, cid_w = _cells(pw.x, pw.y, pw.z)
-            order_w = jnp.argsort(cid_w, stable=True).astype(jnp.int32)
-            wx, wy, wz = pw.x[order_w], pw.y[order_w], pw.z[order_w]
-            wnx, wny, wnz = nw.x[order_w], nw.y[order_w], nw.z[order_w]
-            pencil_ws = pencil_w[order_w]
-            pstart_w = jnp.searchsorted(
-                pencil_ws, jnp.arange(npen + 1, dtype=pencil_ws.dtype),
-                side="left",
-            ).astype(jnp.int32)
+            if wall_static is not None:
+                ws = wall_static
+                wx, wy, wz = ws["x"], ws["y"], ws["z"]
+                wnx, wny, wnz = ws["nx"], ws["ny"], ws["nz"]
+                pencil_ws = ws["pencil"]
+                cid_ws = ws["cid"]
+            else:
+                pw = jax.tree.map(lambda a: a[wall_ids], pos)
+                nw = jax.tree.map(lambda a: a[wall_ids], nrm)
+                pencil_w, cid_w = _cells(pw.x, pw.y, pw.z)
+                order_w = jnp.argsort(cid_w, stable=True).astype(jnp.int32)
+                wx, wy, wz = pw.x[order_w], pw.y[order_w], pw.z[order_w]
+                wnx, wny, wnz = nw.x[order_w], nw.y[order_w], nw.z[order_w]
+                pencil_ws = pencil_w[order_w]
+                cid_ws = cid_w[order_w]
 
-            shell_flag = _shell_of(cid_m, cid_w[order_w], cfg)
+            shell_flag = _shell_of(cid_m, cid_ws, cfg)
             n_sh = shell_flag.sum().astype(jnp.int32)
             diag["shell_overflow"] = jnp.maximum(0, n_sh - cfg.shell_cap)
             sh_rows = jnp.nonzero(
@@ -461,23 +532,43 @@ def _make_step_parts_w(params: SimParams, layout: SceneLayout,
             t_sm = _cross_tables(first_s, last_s, pstart_m, nx, npen,
                                  nb_s, ccol)
             ctx["tables_sm"] = _gate(t_sm, sbidx * B < n_sh)
-            # shell rows -> wall cols (per-resort static wall-wall sums)
-            t_sw = _cross_tables(first_s, last_s, pstart_w, nx, npen,
-                                 nb_s, ccol_c)
-            t_sw = _gate(t_sw, sbidx * B < n_sh)
-            wall_pack = F._pack([
-                _pad_to(wx, wall_alloc, far), _pad_to(wy, wall_alloc, far),
-                _pad_to(wz, wall_alloc, far),
-            ])
-            shell_own = ctx["shell_pos_pack"]
-            # include the wall's own self term, subtracted here once
-            ctx["ww_const"] = raw_sw(t_sw, shell_own, wall_pack) - self3
-            diag["tile_overflow"] = (
-                diag["tile_overflow"]
-                + _table_overflow(ctx["tables_ms"], ccol_c, nb_m)
-                + _table_overflow(ctx["tables_sm"], ccol, nb_s)
-                + _table_overflow(t_sw, ccol_c, nb_s)
-            )
+            if wall_static is not None:
+                # walls never move: their mutual density sums are
+                # precomputed once on the host (f64) — gather the shell's
+                # rows instead of running the raw_sw pass every resort
+                ctx["ww_const"] = jnp.where(
+                    real, wall_static["ww"][safe], 0.0)
+                diag["tile_overflow"] = (
+                    diag["tile_overflow"]
+                    + _table_overflow(ctx["tables_ms"], ccol_c, nb_m)
+                    + _table_overflow(ctx["tables_sm"], ccol, nb_s)
+                )
+            else:
+                # shell rows -> wall cols (per-resort static wall-wall
+                # sums)
+                pstart_w = jnp.searchsorted(
+                    pencil_ws,
+                    jnp.arange(npen + 1, dtype=pencil_ws.dtype),
+                    side="left",
+                ).astype(jnp.int32)
+                t_sw = _cross_tables(first_s, last_s, pstart_w, nx, npen,
+                                     nb_s, ccol_c)
+                t_sw = _gate(t_sw, sbidx * B < n_sh)
+                wall_pack = F._pack([
+                    _pad_to(wx, wall_alloc, far),
+                    _pad_to(wy, wall_alloc, far),
+                    _pad_to(wz, wall_alloc, far),
+                ])
+                shell_own = ctx["shell_pos_pack"]
+                # include the wall's own self term, subtracted here once
+                ctx["ww_const"] = raw_sw(t_sw, shell_own, wall_pack) \
+                    - self3
+                diag["tile_overflow"] = (
+                    diag["tile_overflow"]
+                    + _table_overflow(ctx["tables_ms"], ccol_c, nb_m)
+                    + _table_overflow(ctx["tables_sm"], ccol, nb_s)
+                    + _table_overflow(t_sw, ccol_c, nb_s)
+                )
 
         # ---- compact elastic slab (springs + membranes) ----
         have_springs = springs.n_elastic > 0
@@ -843,7 +934,8 @@ def _make_step_parts_w(params: SimParams, layout: SceneLayout,
 
 
 def make_fastw_multi_step(params, layout, cfg: FastWConfig,
-                          n_steps: int = 1, return_diag: bool = False):
+                          n_steps: int = 1, return_diag: bool = False,
+                          wall_static=None):
     """Jitted run(state, springs, membranes) -> state after n_steps
     (wall-compact engine). ``return_diag``: also return a dict with the
     window-staleness drift bound and the shell/tile overflow counts
@@ -853,12 +945,14 @@ def make_fastw_multi_step(params, layout, cfg: FastWConfig,
     Same nested-scan structure as core.fast.make_fast_multi_step (XLA
     compile time explodes super-linearly in flat scan length)."""
     sort_ctx, carry_of, inner_step, unsort_state = _make_step_parts_w(
-        params, layout, cfg
+        params, layout, cfg, wall_static=wall_static
     )
     r_every = max(1, cfg.resort_every)
     full, rem = divmod(n_steps, r_every)
 
     def scan_steps(ctx, carry, length):
+        unroll = max(1, cfg.unroll)
+
         def body(c, _):
             return inner_step(ctx, c), None
 
@@ -866,12 +960,14 @@ def make_fastw_multi_step(params, layout, cfg: FastWConfig,
         m_out, rem2 = divmod(length, m_in)
 
         def outer(c, _):
-            c2, _ = jax.lax.scan(body, c, None, length=m_in)
+            c2, _ = jax.lax.scan(body, c, None, length=m_in,
+                                 unroll=min(unroll, m_in))
             return c2, None
 
         carry, _ = jax.lax.scan(outer, carry, None, length=m_out)
         if rem2:
-            carry, _ = jax.lax.scan(body, carry, None, length=rem2)
+            carry, _ = jax.lax.scan(body, carry, None, length=rem2,
+                                    unroll=min(unroll, rem2))
         return carry
 
     @jax.jit
@@ -910,12 +1006,12 @@ def make_fastw_multi_step(params, layout, cfg: FastWConfig,
 
 
 def make_fastw_stepper(params, layout, cfg: FastWConfig,
-                       inner_steps: int = 10):
+                       inner_steps: int = 10, wall_static=None):
     """Stateful stepping API mirroring core.fast.make_fast_stepper: the
     sorted context and carry live across calls so the resort period is
     decoupled from compiled graph length."""
     sort_ctx, carry_of, inner_step, unsort_state = _make_step_parts_w(
-        params, layout, cfg
+        params, layout, cfg, wall_static=wall_static
     )
 
     @jax.jit
@@ -928,7 +1024,8 @@ def make_fastw_stepper(params, layout, cfg: FastWConfig,
         def body(c, _):
             return inner_step(ctx, c), None
 
-        out, _ = jax.lax.scan(body, carry, None, length=inner_steps)
+        out, _ = jax.lax.scan(body, carry, None, length=inner_steps,
+                              unroll=min(max(1, cfg.unroll), inner_steps))
         return out
 
     @jax.jit

@@ -131,11 +131,17 @@ class Simulator:
             # with the resort period so each chunk re-sorts exactly once
             self._fast_chunk = max(1, self._fast_cfg.resort_every)
         elif engine == "fastw":
-            from ..core.fastw import compute_fastw_config
+            from ..core.fastw import (compute_fastw_config,
+                                      precompute_wall_static)
 
             self._fast_cfg = compute_fastw_config(
                 scene.pos, self.params, self.layout, ptype=scene.ptype,
                 **fck)
+            # walls never move: hoist their sort + mutual density sums
+            # out of every resort (r5)
+            self._wall_static = precompute_wall_static(
+                scene.pos, scene.normal, self.params, self.layout,
+                self._fast_cfg)
             self._fast_chunk = max(1, self._fast_cfg.resort_every)
         elif engine == "exact":
             # Scene-derived cell capacity: the default silently truncates
@@ -237,7 +243,7 @@ class Simulator:
 
                 fw_run = make_fastw_multi_step(
                     self.params, self.layout, self._fast_cfg, n,
-                    return_diag=True,
+                    return_diag=True, wall_static=self._wall_static,
                 )
 
                 def run(state, springs, membranes, _f=fw_run):

@@ -172,6 +172,42 @@ def test_fastw_simulator_wiring():
     )
 
 
+def test_fastw_wall_static_hoist_matches_in_jit():
+    """The r5 wall-static hoist (precomputed wall sort + f64 mutual
+    density sums) must reproduce the in-jit wall path: the only
+    difference is summation order/precision of the static wall-wall
+    sums, so positions agree to f32 noise. Unroll is semantics-only."""
+    import dataclasses
+
+    from sph_tpu.core.fastw import precompute_wall_static
+
+    params = SimParams(x_max=8 * H, y_max=8 * H, z_max=8 * H)
+    scene = generate_liquid_box_scene(params, fill_fraction=0.5)
+    state, springs, membranes = scene.device_state()
+    layout = scene.layout()
+    cfg = compute_fastw_config(scene.pos, params, layout,
+                               ptype=scene.ptype, resort_every=2)
+    base = make_fastw_multi_step(params, layout, cfg, 4)(
+        state, springs, membranes)
+    ws = precompute_wall_static(scene.pos, scene.normal, params, layout,
+                                cfg)
+    assert ws is not None
+    assert int(np.asarray(ws["ww"]).shape[0]) == cfg.n_wall
+    out = make_fastw_multi_step(params, layout, cfg, 4, wall_static=ws)(
+        state, springs, membranes)
+    np.testing.assert_allclose(
+        np.asarray(out.pos), np.asarray(base.pos), rtol=0, atol=1e-5
+    )
+    # scan unroll must be bitwise-neutral (same graph, unrolled)
+    cfg_u = dataclasses.replace(cfg, unroll=3)
+    out_u = make_fastw_multi_step(params, layout, cfg_u, 4,
+                                  wall_static=ws)(
+        state, springs, membranes)
+    np.testing.assert_array_equal(
+        np.asarray(out_u.pos), np.asarray(out.pos)
+    )
+
+
 def test_fastw_shell_overflow_is_counted():
     """A deliberately undersized shell capacity must be COUNTED (the
     Simulator surfaces it loudly), not silently truncated into wrong
