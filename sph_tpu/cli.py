@@ -162,11 +162,13 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--restore", default=None)
     p.add_argument("--engine", default="auto",
-                   choices=["auto", "exact", "fast", "halo"],
+                   choices=["auto", "exact", "fast", "fastw", "halo"],
                    help="exact = reference 32-cap neighbor lists; "
-                        "fast = blocked Pallas pair engine; halo = fast "
-                        "engine sharded over all devices (z-slab halo "
-                        "exchange)")
+                        "fast = blocked Pallas pair engine; fastw = "
+                        "wall-compact fast engine (static walls leave "
+                        "the hot carry; auto picks it on wall-heavy "
+                        "scenes); halo = fast engine sharded over all "
+                        "devices (z-slab halo exchange)")
     p.add_argument("--adaptive-resort", action="store_true",
                    help="fast/halo engines: shorten the resort period "
                         "while the in-scan window-drift bound exceeds "

@@ -81,6 +81,11 @@ class FastWConfig:
     # cost and lets XLA fuse step k's carry re-pack into k-1's epilogue).
     # compute_fastw_config picks 5 on TPU, 1 under interpret (CPU tests).
     unroll: int = 1
+    # inner-scan chunk of make_fastw_multi_step's sweep: steps per inner
+    # lax.scan; the outer scan covers the rest of the resort period.
+    # 10 keeps compile bounded; 30 makes a resort-period sweep one flat
+    # scan (r5: the 10x3 nesting costs ~1 ms/step vs flat on the worm)
+    scan_chunk: int = 10
 
     @property
     def ccol_compact(self) -> int:
@@ -208,7 +213,14 @@ def compute_fastw_config(
         n_blocks=nb, n_blocks_s=cap // block, block=block, ccol=ccol,
         dims=(nx, ny, nz), interpret=interpret,
         resort_every=resort_every, ccol_c=ccol_c, dilate=dilate,
-        unroll=(1 if interpret else 5) if unroll is None else unroll,
+        # unroll default is scale-gated: at ~918k particles the scanned
+        # unrolled body reproducibly kernel-faults the axon TPU worker
+        # (single step OK, unroll=1 scan OK, 700k OK — the same plugin
+        # fault class as the r4 cap=64 scan bisect, BASELINE.md); the
+        # unroll gain is ~0.3 ms/step at worm scale, not worth the risk
+        # beyond the measured-safe size
+        unroll=(1 if interpret or n_mov > 512_000 else 5)
+        if unroll is None else unroll,
     )
 
 
@@ -956,7 +968,7 @@ def make_fastw_multi_step(params, layout, cfg: FastWConfig,
         def body(c, _):
             return inner_step(ctx, c), None
 
-        m_in = min(length, 10)
+        m_in = min(length, max(1, cfg.scan_chunk))
         m_out, rem2 = divmod(length, m_in)
 
         def outer(c, _):

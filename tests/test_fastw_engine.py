@@ -208,6 +208,26 @@ def test_fastw_wall_static_hoist_matches_in_jit():
     )
 
 
+def test_auto_engine_resolution():
+    """engine="auto": exact off-TPU; on TPU, fastw only for wall-heavy
+    elastic-only-spring scenes (r5: fastw measured SLOWER than fast on
+    the 11%-wall dam-break), fast otherwise."""
+    import dataclasses
+
+    from sph_tpu.core.step import SceneLayout
+    from sph_tpu.runtime.simulator import resolve_auto_engine
+
+    worm_like = SceneLayout(n_particles=100, boundary_range=(56, 100))
+    assert resolve_auto_engine(False, worm_like) == "exact"
+    assert resolve_auto_engine(True, worm_like) == "fastw"
+    dam_like = SceneLayout(n_particles=100, boundary_range=(89, 100))
+    assert resolve_auto_engine(True, dam_like) == "fast"
+    no_walls = SceneLayout(n_particles=100)
+    assert resolve_auto_engine(True, no_walls) == "fast"
+    anchored = dataclasses.replace(worm_like, springs_elastic_only=False)
+    assert resolve_auto_engine(True, anchored) == "fast"
+
+
 def test_fastw_shell_overflow_is_counted():
     """A deliberately undersized shell capacity must be COUNTED (the
     Simulator surfaces it loudly), not silently truncated into wrong
